@@ -1,0 +1,145 @@
+"""Adjacency preparation shared by every superstep algorithm.
+
+The edge DataFrame IS the graph (SURVEY.md §1.1). Before any iterative
+loop we build, once:
+
+- the *metrics view*: at most one edge per (src,dst) — the reference's
+  NetworkX DiGraph collapses parallel typed edges last-writer-wins in
+  file order (reference viz/graph2metrics.py:163-170); keeping the last
+  edge per pair by ``edge_order`` reproduces its numbers bit-for-bit.
+- CSR-style layout: edges hash-partitioned by ``src_id`` and sorted
+  within partitions, persisted once and reused by every superstep so
+  the per-iteration rank join shuffles only the (much smaller) rank
+  vector, never the edge table.
+- the vertex set (nodes table if given, else distinct endpoints).
+
+Skew (north_rule): hub vertices are split out by out-degree; the
+superstep join handles them with a broadcast of the hub rank slice
+(the top-k degree tail) while the long tail goes through the normal
+shuffle join. ``groupBy(dst)`` aggregations need no manual salting —
+Spark's partial (map-side) hash aggregation already combines per input
+partition, which bounds any hub destination's final-stage fan-in by the
+partition count, i.e. partial agg IS the salt.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
+
+
+def metrics_view(edges: DataFrame) -> DataFrame:
+    """Collapse to the last edge per (src,dst) in file order.
+
+    Output columns: src_id, dst_id, edge_type, weight (missing → 1.0).
+    """
+    if "edge_order" in edges.columns:
+        w = F.row_number().over(
+            Window.partitionBy("src_id", "dst_id").orderBy(F.col("edge_order").desc())
+        )
+        collapsed = (
+            edges.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn", "edge_order")
+        )
+    else:
+        collapsed = edges.dropDuplicates(["src_id", "dst_id"])
+    return collapsed.withColumn("weight", F.coalesce(F.col("weight"), F.lit(1.0)))
+
+
+def vertex_ids(edges: DataFrame, nodes: DataFrame | None) -> DataFrame:
+    """Vertex set as a single-column ('id') DataFrame."""
+    if nodes is not None:
+        return nodes.select(F.col("id"))
+    return (
+        edges.select(F.col("src_id").alias("id"))
+        .union(edges.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
+
+
+@dataclass
+class Adjacency:
+    """Prepared, persisted adjacency for superstep loops."""
+
+    edges: DataFrame  # src_id, dst_id, weight, frac (weight/out_wsum)
+    vertices: DataFrame  # id, dangling(boolean), out_wsum, out_deg
+    hub_ids: list  # top-k out-degree vertex ids (skew tail)
+    edges_hub: DataFrame | None  # src_id ∈ hub_ids (pre-split, persisted)
+    edges_tail: DataFrame | None  # the long tail
+    n: int  # |V|
+
+    def unpersist(self) -> None:
+        self.edges.unpersist()
+        self.vertices.unpersist()
+        for df in (self.edges_hub, self.edges_tail):
+            if df is not None:
+                df.unpersist()
+
+
+def build_adjacency(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    num_partitions: int | None = None,
+    hub_top_k: int = 256,
+) -> Adjacency:
+    """Build the reusable adjacency for PageRank-style supersteps.
+
+    One pass computes per-src out-weight sums; each edge gets
+    ``frac = weight / out_wsum`` so the per-iteration contribution is a
+    single multiply (no per-iteration normalization job). Edges are
+    repartitioned by src_id (CSR-style bucketing) and persisted.
+    """
+    e = metrics_view(edges).select("src_id", "dst_id", "weight")
+    if num_partitions:
+        e = e.repartition(num_partitions, "src_id")
+    else:
+        e = e.repartition("src_id")
+
+    out_w = e.groupBy("src_id").agg(
+        F.sum("weight").alias("out_wsum"), F.count(F.lit(1)).alias("out_deg")
+    )
+    e = (
+        e.join(out_w.select("src_id", "out_wsum"), "src_id")
+        .withColumn("frac", F.col("weight") / F.col("out_wsum"))
+        .sortWithinPartitions("src_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    verts = (
+        vertex_ids(edges, nodes)
+        .join(out_w.withColumnRenamed("src_id", "id"), "id", "left")
+        .select(
+            "id",
+            F.col("out_wsum").isNull().alias("dangling"),
+            F.coalesce(F.col("out_wsum"), F.lit(0.0)).alias("out_wsum"),
+            F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = verts.count()
+
+    hub_ids: list = []
+    edges_hub = edges_tail = None
+    if hub_top_k and hub_top_k > 0:
+        hub_ids = [
+            r["src_id"]
+            for r in out_w.orderBy(F.col("out_deg").desc())
+            .limit(hub_top_k)
+            .select("src_id")
+            .collect()
+        ]
+    if hub_ids:
+        is_hub = F.col("src_id").isin(hub_ids)
+        edges_hub = e.filter(is_hub).persist(StorageLevel.MEMORY_AND_DISK)
+        edges_tail = e.filter(~is_hub).persist(StorageLevel.MEMORY_AND_DISK)
+    return Adjacency(
+        edges=e,
+        vertices=verts,
+        hub_ids=hub_ids,
+        edges_hub=edges_hub,
+        edges_tail=edges_tail,
+        n=n,
+    )

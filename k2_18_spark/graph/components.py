@@ -1,0 +1,144 @@
+"""Weakly connected components as a DataFrame superstep loop (SURVEY.md G3).
+
+Semantics (reference viz/graph2metrics.py:258-287):
+- components of the undirected projection
+- deterministic renumbering: components sorted by the minimum original
+  node position (``node_order``) of any member → sequential IDs 0..k-1.
+  Exact match vs the reference is required (north_rule).
+
+Algorithm: iterative min-label propagation ("hash-to-min" small-star
+variant). Every vertex starts with label = its own order-stable key;
+each superstep every vertex takes the min label over itself and its
+neighbors (over symmetrized edges); converges in O(diameter) rounds —
+large-diameter graphs still terminate because labels strictly decrease.
+Labels are (min node_order of the member seen so far), so the final
+label IS the renumbering key: `dense_rank` over distinct labels gives
+the reference's sequential component IDs directly.
+
+Scale: the symmetrized edge table is built and persisted once,
+partitioned by src; each superstep shuffles only the label vector
+(groupBy min has map-side partial aggregation, so hub vertices don't
+skew the reduce). Each superstep checkpoints labels + lineage and can
+resume (same CheckpointStore contract as PageRank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
+
+from k2_18_spark.checkpoint import CheckpointStore
+from k2_18_spark.graph.adjacency import vertex_ids
+
+
+def connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+    job_name: str = "components",
+    max_iter: int = 200,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """→ DataFrame (id, component_id) with reference-exact numbering.
+
+    ``nodes`` should carry ``node_order`` (original file position) for
+    reference-exact renumbering; without it, ordering falls back to the
+    lexicographic id (documented divergence: the reference renumbers by
+    min *file position* — viz/graph2metrics.py:277-279).
+    """
+    if nodes is not None and "node_order" in nodes.columns:
+        verts = nodes.select("id", F.col("node_order").alias("ord"))
+    else:
+        w = F.row_number().over(Window.orderBy("id"))
+        verts = vertex_ids(edges, nodes).withColumn("ord", w - F.lit(1))
+    verts = verts.persist(StorageLevel.MEMORY_AND_DISK)
+    n = verts.count()
+    if n == 0:
+        return spark.createDataFrame([], "id string, component_id int")
+
+    # Symmetrized edge list keyed by vertex (U3) — built & persisted once.
+    sym = (
+        edges.select(F.col("src_id").alias("a"), F.col("dst_id").alias("b"))
+        .union(edges.select(F.col("dst_id").alias("a"), F.col("src_id").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if num_partitions:
+        sym = sym.repartition(num_partitions, "a")
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+
+    store = CheckpointStore(spark, checkpoint_dir, job_name) if checkpoint_dir else None
+
+    labels = None
+    start_iter = 0
+    if store is not None:
+        last = store.latest_iteration()
+        if last is not None:
+            state = store.load_state(last)
+            labels = state.select("id", "label")
+            if store.load_marker(last).get("converged"):
+                return _renumber(labels)
+            start_iter = last + 1
+    if labels is None:
+        labels = verts.select("id", F.col("ord").alias("label")).localCheckpoint(
+            eager=True
+        )
+
+    for it in range(start_iter, max_iter):
+        neighbor_min = (
+            sym.join(labels.select(F.col("id").alias("b"), "label"), "b")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.withColumnRenamed("label", "old_label")
+            .join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("old_label"), F.coalesce(F.col("nbr_label"), F.col("old_label"))
+                ).alias("label"),
+                F.col("old_label"),
+            )
+        )
+        if store is not None:
+            new_labels = store.save_state(it, new_labels, rows_in=n)
+        else:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.agg(
+                F.sum((F.col("label") != F.col("old_label")).cast("long"))
+            ).collect()[0][0]
+            or 0
+        )
+        labels = new_labels.select("id", "label")
+        if changed == 0:
+            if store is not None:
+                store.annotate(it, converged=True)
+            break
+    else:
+        raise RuntimeError(f"components did not converge in {max_iter} supersteps")
+
+    out = _renumber(labels)
+    verts.unpersist()
+    sym.unpersist()
+    return out
+
+
+def _renumber(labels: DataFrame) -> DataFrame:
+    """Sequential component IDs by ascending min-order label (T6).
+
+    The label already equals the min original position of the
+    component, so dense_rank over it reproduces the reference numbering
+    (viz/graph2metrics.py:279-285)."""
+    from pyspark.sql.window import Window
+
+    return labels.select(
+        "id",
+        (F.dense_rank().over(Window.orderBy("label")) - 1)
+        .cast("int")
+        .alias("component_id"),
+    )

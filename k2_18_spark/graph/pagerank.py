@@ -1,0 +1,212 @@
+"""Weighted PageRank as a DataFrame-only superstep loop (SURVEY.md G1/G2).
+
+Reproduces NetworkX power-iteration semantics exactly (reference calls
+``nx.pagerank(G, alpha=0.85, max_iter=100, weight="weight")`` at
+viz/graph2metrics.py:716-729):
+
+- right-stochastic transition: contribution of edge (u,v) is
+  ``rank_u * weight_uv / out_wsum_u``
+- dangling vertices (no out-edges) redistribute their whole rank
+  uniformly (the personalization vector is uniform 1/n)
+- update: ``r' = alpha * (contrib + dangling_mass / n) + (1-alpha)/n``
+- convergence: L1 delta ``sum(|r'-r|) < n * tol`` (nx criterion);
+  raises like nx's PowerIterationFailedConvergence after max_iter
+  unless ``strict=False``.
+- empty edge set → uniform 1/n (reference viz/graph2metrics.py:726-729)
+
+Scale design (north_rule):
+- the edge table is prepared once (frac precomputed, hash-partitioned
+  by src_id, persisted) — each superstep shuffles only the rank vector.
+- hub sources (top-k out-degree tail) are joined via an explicit
+  broadcast of their rank slice; the long tail goes through the normal
+  shuffle join (AQE skew-join covers residual skew).
+- hub destinations need no salting: Spark's partial hash aggregation
+  combines map-side, bounding any destination's final fan-in by the
+  partition count.
+- every superstep checkpoints the rank vector + per-partition lineage
+  (CheckpointStore); a killed job resumes from the last complete
+  iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k2_18_spark.checkpoint import CheckpointStore
+from k2_18_spark.graph.adjacency import Adjacency, build_adjacency
+
+
+class PowerIterationFailedConvergence(RuntimeError):
+    pass
+
+
+def _superstep(
+    ranks: DataFrame,
+    adj: Adjacency,
+    alpha: float,
+    n: int,
+    dangling_mass: float,
+) -> DataFrame:
+    """One power iteration plan (caller materializes/checkpoints it).
+
+    ``ranks`` must carry (id, rank, dangling); ``dangling_mass`` is the
+    sum of ranks of dangling vertices (computed by the caller in the
+    same aggregate pass as the previous iteration's L1 delta — one
+    driver job per superstep, not two).
+    """
+    edges = adj.edges  # src_id, dst_id, frac (+weight, out_wsum)
+    rank_src = ranks.select(F.col("id").alias("src_id"), "rank")
+
+    if adj.hub_ids:
+        hub_ranks = rank_src.filter(F.col("src_id").isin(adj.hub_ids))
+        tail_ranks = rank_src.filter(~F.col("src_id").isin(adj.hub_ids))
+        contribs = adj.edges_hub.join(F.broadcast(hub_ranks), "src_id").unionByName(
+            adj.edges_tail.join(tail_ranks, "src_id")
+        )
+    else:
+        contribs = edges.join(rank_src, "src_id")
+
+    agg = contribs.groupBy(F.col("dst_id").alias("id")).agg(
+        F.sum(F.col("rank") * F.col("frac")).alias("contrib")
+    )
+
+    base = alpha * dangling_mass / n + (1.0 - alpha) / n
+    new_ranks = (
+        ranks.select("id", F.col("rank").alias("prev_rank"), "dangling")
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            (F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(base)).alias(
+                "rank"
+            ),
+            "prev_rank",
+            "dangling",
+        )
+    )
+    return new_ranks
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+    checkpoint_dir: str | None = None,
+    job_name: str = "pagerank",
+    num_partitions: int | None = None,
+    hub_top_k: int = 256,
+    strict: bool = True,
+    adj: Adjacency | None = None,
+) -> DataFrame:
+    """Weighted PageRank to convergence → DataFrame (id, rank).
+
+    ``checkpoint_dir`` enables parquet checkpoints + lineage + resume;
+    without it state is truncated via localCheckpoint (no resume).
+    """
+    own_adj = adj is None
+    if adj is None:
+        adj = build_adjacency(
+            edges, nodes, num_partitions=num_partitions, hub_top_k=hub_top_k
+        )
+    n = adj.n
+    if n == 0:
+        return spark.createDataFrame([], "id string, rank double")
+
+    # Empty edge set → uniform (reference viz/graph2metrics.py:726-729).
+    if adj.edges.isEmpty():
+        out = adj.vertices.select("id", F.lit(1.0 / n).alias("rank"))
+        if own_adj:
+            out = out.localCheckpoint(eager=True)
+            adj.unpersist()
+        return out
+
+    store = (
+        CheckpointStore(spark, checkpoint_dir, job_name) if checkpoint_dir else None
+    )
+
+    start_iter = 0
+    ranks = None
+    if store is not None:
+        last = store.latest_iteration()
+        if last is not None:
+            ranks = store.load_state(last)
+            marker = store.load_marker(last)
+            if marker.get("converged"):
+                return ranks.select("id", "rank")
+            start_iter = last + 1
+
+    if ranks is None:
+        ranks = adj.vertices.select(
+            "id", F.lit(1.0 / n).alias("rank"), "dangling"
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+
+    # dangling mass of the current rank vector (folded into the per-
+    # iteration delta aggregate below, so steady state runs ONE driver
+    # aggregate per superstep).
+    dangling_mass = (
+        ranks.agg(F.sum(F.when(F.col("dangling"), F.col("rank")))).collect()[0][0]
+        or 0.0
+    )
+
+    converged = False
+    for it in range(start_iter, max_iter):
+        new_ranks = _superstep(ranks, adj, alpha, n, dangling_mass)
+        if store is not None:
+            new_ranks = store.save_state(it, new_ranks, rows_in=n)
+        else:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        err, dangling_mass = new_ranks.agg(
+            F.sum(F.abs(F.col("rank") - F.col("prev_rank"))),
+            F.sum(F.when(F.col("dangling"), F.col("rank"))),
+        ).collect()[0]
+        err = err or 0.0
+        dangling_mass = dangling_mass or 0.0
+        ranks = new_ranks.select("id", "rank", "dangling")
+        if err < n * tol:
+            converged = True
+            if store is not None:
+                # Mark the final iteration as converged for resume.
+                store.annotate(it, converged=True)
+            break
+
+    if not converged and strict:
+        raise PowerIterationFailedConvergence(
+            f"pagerank failed to converge in {max_iter} iterations"
+        )
+
+    out = ranks.select("id", "rank")
+    if own_adj:
+        out = out.localCheckpoint(eager=True)
+        adj.unpersist()
+    return out
+
+
+def educational_importance(
+    spark: SparkSession,
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    edu_types: list[str] | None = None,
+    **kwargs,
+) -> DataFrame:
+    """PageRank on the educational-edge subgraph, all vertices retained
+    (reference viz/graph2metrics.py:620-665). Non-convergence falls back
+    to tol=1e-3 like the reference (:657-659)."""
+    from k2_18_spark.schemas import EDUCATIONAL_EDGE_TYPES
+
+    types = [t.upper() for t in (edu_types or EDUCATIONAL_EDGE_TYPES)]
+    edu_edges = edges.filter(F.upper(F.col("edge_type")).isin(types))
+    if nodes is None:
+        # All original vertices keep teleport mass even if isolated.
+        from k2_18_spark.graph.adjacency import vertex_ids
+
+        nodes = vertex_ids(edges, None)
+    kwargs.setdefault("job_name", "educational_importance")
+    try:
+        return pagerank(spark, edu_edges, nodes=nodes, **kwargs)
+    except PowerIterationFailedConvergence:
+        kwargs.update({"tol": 1e-3, "max_iter": 200})
+        return pagerank(spark, edu_edges, nodes=nodes, **kwargs)

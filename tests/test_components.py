@@ -1,0 +1,95 @@
+"""Connected-components golden parity: exact component IDs vs the
+reference renumbering (min original node position, sequential 0..k-1)."""
+
+import pytest
+
+from k2_18_spark.graph.components import connected_components
+from k2_18_spark.io import fixtures
+from tests.nx_oracle import to_nx
+
+import networkx as nx
+
+
+def reference_component_ids(data: dict) -> dict:
+    """Reimplements viz/graph2metrics.py:258-287 as the oracle."""
+    g = to_nx(data)
+    node_order = [n["id"] for n in data["nodes"]]
+    ug = g.to_undirected()
+    comps = list(nx.connected_components(ug))
+    order_map = {n: i for i, n in enumerate(node_order)}
+    comps = sorted(comps, key=lambda c: min(order_map.get(n, 10**9) for n in c))
+    out = {}
+    for cid, comp in enumerate(comps):
+        for n in comp:
+            out[n] = cid
+    return out
+
+
+@pytest.mark.parametrize("name", fixtures.FIXTURE_NAMES)
+def test_components_exact(spark, name):
+    nodes, edges, data = fixtures.load_fixture(spark, name)
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components(spark, edges, nodes=nodes).collect()
+    }
+    want = reference_component_ids(data)
+    assert got == want, name
+
+
+def test_components_expected_golden(spark):
+    nodes, edges, _ = fixtures.load_fixture(spark, "test_disconnected")
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components(spark, edges, nodes=nodes).collect()
+    }
+    for node_id, exp in fixtures.expected_node_metrics("test_disconnected").items():
+        assert got[node_id] == exp["component_id"], node_id
+
+
+def test_components_resume(spark, tmp_ckpt):
+    nodes, edges, data = fixtures.load_fixture(spark, "test_disconnected")
+    first = connected_components(
+        spark, edges, nodes=nodes, checkpoint_dir=tmp_ckpt
+    ).collect()
+    # Second call resumes from the converged marker without iterating.
+    second = connected_components(
+        spark, edges, nodes=nodes, checkpoint_dir=tmp_ckpt
+    ).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+    assert {r["component_id"] for r in first} == set(
+        reference_component_ids(data).values()
+    )
+
+
+def test_degrees_golden(spark):
+    from k2_18_spark.operators.degrees import degrees
+
+    for name in fixtures.FIXTURE_NAMES:
+        nodes, edges, _ = fixtures.load_fixture(spark, name)
+        got = {r["id"]: r for r in degrees(edges, nodes=nodes).collect()}
+        for node_id, exp in fixtures.expected_node_metrics(name).items():
+            if "degree_in" in exp:
+                assert got[node_id]["degree_in"] == exp["degree_in"], (name, node_id)
+                assert got[node_id]["degree_out"] == exp["degree_out"], (name, node_id)
+                # expected files round to 3-6 decimals
+                assert abs(
+                    got[node_id]["degree_centrality"] - exp["degree_centrality"]
+                ) <= 5e-4, (name, node_id)
+
+
+def test_inverse_weight_golden(spark):
+    from pyspark.sql import functions as F
+
+    from k2_18_spark.functions.weights import with_inverse_weight
+
+    for name in ["test_weighted_triangle", "test_educational"]:
+        _, edges, _ = fixtures.load_fixture(spark, name)
+        got = {
+            (r["src_id"], r["dst_id"], r["edge_type"]): r["inverse_weight"]
+            for r in with_inverse_weight(
+                edges.withColumn("weight", F.coalesce("weight", F.lit(1.0)))
+            ).collect()
+        }
+        for key, exp in fixtures.expected_edge_metrics(name).items():
+            if "inverse_weight" in exp:
+                assert abs(got[key] - exp["inverse_weight"]) <= 1e-5, (name, key)
