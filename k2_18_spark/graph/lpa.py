@@ -1,0 +1,163 @@
+"""Weighted label propagation (community labels) — SURVEY.md G4 scale path.
+
+The reference clusters with python-louvain (seeded, inherently
+sequential — viz/graph2metrics.py:417-511). The north_rule names
+*label propagation* as the distributed algorithm; we run synchronous
+weighted LPA over the same undirected projection the reference builds
+(bidirectional weights summed, U2: viz/graph2metrics.py:459-472) and
+apply the same deterministic renumbering (clusters sorted by min
+member key). Divergence vs Louvain goldens is documented in SURVEY §7.
+
+Determinism: semi-synchronous updates — each superstep only vertices
+whose id-hash parity matches the round parity adopt the label with the
+max total incident weight (ties → smaller label); the other half wait.
+This 2-coloring breaks the label-swap oscillation pure synchronous LPA
+exhibits on bipartite-ish structures while staying fully deterministic
+(hash parity is data-derived, not random). Convergence = a full
+even+odd cycle with zero changes, or the iteration cap; deterministic
+renumbering makes the output stable either way.
+
+Scale: the projected edge list is built and persisted once; each
+superstep shuffles only the label vector. groupBy(vertex,label) has
+map-side partial aggregation (hub-safe); per-vertex argmax is a window
+over (vertex) — partitioned by vertex id, no global sort. Supersteps
+checkpoint labels + lineage like every other loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
+
+from k2_18_spark.checkpoint import CheckpointStore
+from k2_18_spark.graph.adjacency import metrics_view, vertex_ids
+
+
+def undirected_projection(edges: DataFrame) -> DataFrame:
+    """U2: canonical-pair projection, bidirectional weights summed
+    (reference viz/graph2metrics.py:459-472). → (a, b, weight), a<b."""
+    e = metrics_view(edges).filter(F.col("src_id") != F.col("dst_id"))
+    return (
+        e.select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+            "weight",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+    job_name: str = "lpa",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """→ (id, cluster_id) — sequential ids by min member order (T6)."""
+    if nodes is not None and "node_order" in nodes.columns:
+        verts = nodes.select("id", F.col("node_order").alias("ord"))
+    else:
+        verts = vertex_ids(edges, nodes).withColumn(
+            "ord", F.row_number().over(Window.orderBy("id")) - F.lit(1)
+        )
+    verts = verts.persist(StorageLevel.MEMORY_AND_DISK)
+    n = verts.count()
+    if n == 0:
+        return spark.createDataFrame([], "id string, cluster_id int")
+
+    proj = undirected_projection(edges)
+    # both directions for message passing: (v, nbr, weight)
+    sym = proj.select(
+        F.col("a").alias("v"), F.col("b").alias("nbr"), "weight"
+    ).union(proj.select(F.col("b").alias("v"), F.col("a").alias("nbr"), "weight"))
+    if num_partitions:
+        sym = sym.repartition(num_partitions, "nbr")
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+
+    store = CheckpointStore(spark, checkpoint_dir, job_name) if checkpoint_dir else None
+    labels = None
+    start_iter = 0
+    if store is not None:
+        last = store.latest_iteration()
+        if last is not None:
+            state = store.load_state(last)
+            labels = state.select("id", "label")
+            if store.load_marker(last).get("converged"):
+                return _renumber(labels, verts)
+            start_iter = last + 1
+    if labels is None:
+        labels = verts.select("id", F.col("ord").alias("label")).localCheckpoint(
+            eager=True
+        )
+
+    prev_changed = None
+    for it in range(start_iter, max_iter):
+        # neighbor label weights: vote(v, label) = Σ weight of edges to
+        # neighbors currently holding `label`
+        votes = (
+            sym.join(labels.select(F.col("id").alias("nbr"), "label"), "nbr")
+            .groupBy(F.col("v").alias("id"), "label")
+            .agg(F.sum("weight").alias("w"))
+        )
+        win = Window.partitionBy("id").orderBy(F.col("w").desc(), F.col("label").asc())
+        best = (
+            votes.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") == 1)
+            .select("id", F.col("label").alias("best_label"))
+        )
+        # semi-synchronous: only this round's parity class updates
+        active = F.pmod(F.xxhash64(F.col("id")), F.lit(2)) == F.lit(it % 2)
+        new_labels = (
+            labels.withColumnRenamed("label", "old_label")
+            .join(best, "id", "left")
+            .select(
+                "id",
+                F.when(active, F.coalesce("best_label", "old_label"))
+                .otherwise(F.col("old_label"))
+                .alias("label"),
+                "old_label",
+            )
+        )
+        if store is not None:
+            new_labels = store.save_state(it, new_labels, rows_in=n)
+        else:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.agg(
+                F.sum((F.col("label") != F.col("old_label")).cast("long"))
+            ).collect()[0][0]
+            or 0
+        )
+        labels = new_labels.select("id", "label")
+        # converged when a full even+odd cycle changes nothing
+        if changed == 0 and prev_changed == 0:
+            if store is not None:
+                store.annotate(it, converged=True)
+            break
+        prev_changed = changed
+
+    out = _renumber(labels, verts)
+    verts.unpersist()
+    sym.unpersist()
+    return out
+
+
+def _renumber(labels: DataFrame, verts: DataFrame) -> DataFrame:
+    """Sequential cluster ids ordered by min member ``ord`` (T6 —
+    reference renumbers Louvain clusters by min node id,
+    viz/graph2metrics.py:498-505; we use the order key for stability)."""
+    keyed = labels.join(verts, "id")
+    min_ord = keyed.groupBy("label").agg(F.min("ord").alias("min_ord"))
+    ranked = min_ord.select(
+        "label",
+        (F.dense_rank().over(Window.orderBy("min_ord")) - 1)
+        .cast("int")
+        .alias("cluster_id"),
+    )
+    return keyed.join(ranked, "label").select("id", "cluster_id")
