@@ -1,38 +1,535 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2
+(or a training-data-pipeline addition); ``oracle_sql()`` provides the
+DuckDB-equivalent ANSI SQL for the SQL-expressible ones. Iterative
+graph algorithms (PageRank / components / LPA) and engine-hash-specific
+ops (MinHash, SimHash) have no SQL oracle → rows-only checks; their
+correctness gate is the golden-fixture pytest suite (tests/).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Derived link graph: co-supplier co-occurrence edges from lineitem.
+# Deterministic, SQL-expressible, non-bipartite (triangles exist), skewed.
+# ---------------------------------------------------------------------------
+
+def _co_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_discount"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.concat(F.lit("S"), F.col("a.l_suppkey")).alias("src_id"),
+            F.concat(F.lit("S"), F.col("b.l_suppkey")).alias("dst_id"),
+        )
+        .agg(
+            F.round(
+                F.avg(1.0 - (F.col("a.l_discount") + F.col("b.l_discount")) / 2.0), 6
+            ).alias("weight"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .withColumn("edge_type", F.lit("CO_OCCUR"))
+        .select("src_id", "dst_id", "edge_type", "weight", "n_pairs")
+    )
+
+
+_CO_SUPPLIER_SQL = """
+SELECT 'S' || a.l_suppkey AS src_id,
+       'S' || b.l_suppkey AS dst_id,
+       'CO_OCCUR' AS edge_type,
+       ROUND(AVG(1.0 - (a.l_discount + b.l_discount) / 2.0), 6) AS weight,
+       COUNT(*) AS n_pairs
+FROM lineitem a
+JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey
+ AND a.l_linenumber < b.l_linenumber
+ AND a.l_suppkey <> b.l_suppkey
+GROUP BY 1, 2
+"""
+
+
+def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge table shaped per the driver contract (src_id, dst_id,
+    edge_type, weight) for the iterative algorithms."""
+    return _co_supplier_edges(spark, sf_dir).select(
+        "src_id", "dst_id", "edge_type", "weight"
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: weighted PageRank to convergence on the derived link
+    graph at sf0.001, top 20 vertices."""
+    from k2_18_spark.graph.pagerank import pagerank
+
+    edges = _graph_edges(spark, "/root/testdata/sf0.001")
+    ranks = pagerank(spark, edges, hub_top_k=32)
+    return (
+        ranks.orderBy(F.col("rank").desc(), F.col("id").asc())
+        .limit(20)
+        .select("id", F.round("rank", 6).alias("pagerank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from k2_18_spark.operators.graph_ops import top_k_per_group
+
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.round("value", 4).alias("value")
+    )
+    return top_k_per_group(
+        ev, "user_id", "value", 3, tiebreak_col="event_id"
+    )
+
+
+def q_co_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _co_supplier_edges(spark, sf_dir)
+
+
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from k2_18_spark.operators.degrees import degrees
+
+    return degrees(_graph_edges(spark, sf_dir))
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from k2_18_spark.graph.triangles import triangles
+
+    return triangles(spark, _graph_edges(spark, sf_dir)).select(
+        "id", F.col("triangle_count").cast("long").alias("triangle_count")
+    )
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from k2_18_spark.graph.pagerank import pagerank
+
+    ranks = pagerank(spark, _graph_edges(spark, sf_dir), hub_top_k=32)
+    return ranks.select("id", F.round("rank", 6).alias("pagerank"))
+
+
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from k2_18_spark.graph.components import connected_components
+
+    return connected_components(spark, _graph_edges(spark, sf_dir))
+
+
+def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from k2_18_spark.graph.lpa import label_propagation
+
+    return label_propagation(spark, _graph_edges(spark, sf_dir))
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from k2_18_spark.operators.textstats import quality_features
+
+    return quality_features(_load(spark, sf_dir, "documents"))
+
+
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from k2_18_spark.operators.textstats import language_id
+
+    return language_id(_load(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from k2_18_spark.operators.textstats import (
+        bpe_token_count,
+        fingerprint,
+        token_count,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    fp = fingerprint(docs)
+    return (
+        docs.select(
+            "doc_id",
+            token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+            bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        )
+        .join(fp, "doc_id")
+    )
+
+
+def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from k2_18_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_load(spark, sf_dir, "documents"))
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from k2_18_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), threshold=0.5, n=3, block_col="source"
+    )
+
+
+def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from k2_18_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _load(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from k2_18_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(
+        _load(spark, sf_dir, "documents"), max_hamming=6
+    )
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from k2_18_spark.operators.dedup import embedding_near_duplicates
+
+    return embedding_near_duplicates(_emb_double(spark, sf_dir), threshold=0.3)
+
+
+def q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from k2_18_spark.operators.similarity import brute_force_topk
+
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=10)
+
+
+def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from k2_18_spark.operators.similarity import lsh_topk
+
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=10, dim=64)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "events_daily": q_events_daily,
+        "top_events_per_user": q_top_events_per_user,
+        "co_supplier_edges": q_co_supplier_edges,
+        "graph_degrees": q_graph_degrees,
+        "graph_triangles": q_graph_triangles,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_components": q_graph_components,
+        "graph_lpa": q_graph_lpa,
+        "doc_quality": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_dedup_exact": q_doc_dedup_exact,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "emb_near_dup": q_emb_near_dup,
+        "emb_topk": q_emb_topk,
+        "emb_lsh_topk": q_emb_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKENS = r"string_split_regex(trim(lower(text)), '\s+')"
+_SHINGLES = (
+    r"list_distinct(list_transform("
+    r"range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 2, 1) + 1), "
+    r"i -> array_to_string(string_split_regex(trim(lower(text)), '\s+')[i:i+2], ' ')))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = "['the','a','an','and','or','of','to','in','is','it']"
+    lang_exprs = {
+        "en": "['the','and','of']",
+        "es": "['el','la','que']",
+        "de": "['der','die','und']",
+        "fr": "['le','la','et']",
+    }
+    lang_score = {
+        lang: f"len(list_filter({_TOKENS}, t -> list_contains({words}, t)))"
+        for lang, words in lang_exprs.items()
+    }
+    # first language in fixed dict order achieving the positive max
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in lang_exprs) + ")"
+    guess_chain = "CASE "
+    for lang in lang_exprs:
+        guess_chain += f"WHEN score_{lang} = {best} AND {best} > 0 THEN '{lang}' "
+    guess_chain += "ELSE 'und' END"
+
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        "top_orders": """
+            SELECT l_orderkey, o_orderdate,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "events_daily": """
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "top_events_per_user": """
+            SELECT user_id, event_id, value FROM (
+                SELECT user_id, event_id, ROUND(value, 4) AS value,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ROUND(value, 4) DESC, event_id ASC
+                       ) AS rn
+                FROM events
+            ) WHERE rn <= 3
+        """,
+        "co_supplier_edges": _CO_SUPPLIER_SQL,
+        "graph_degrees": f"""
+            WITH e AS ({_CO_SUPPLIER_SQL}),
+            verts AS (
+                SELECT src_id AS id FROM e UNION SELECT dst_id FROM e
+            ),
+            ind AS (SELECT dst_id AS id, COUNT(*) AS degree_in FROM e GROUP BY 1),
+            outd AS (SELECT src_id AS id, COUNT(*) AS degree_out FROM e GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n FROM verts)
+            SELECT v.id,
+                   CAST(COALESCE(ind.degree_in, 0) AS INT) AS degree_in,
+                   CAST(COALESCE(outd.degree_out, 0) AS INT) AS degree_out,
+                   (COALESCE(ind.degree_in, 0) + COALESCE(outd.degree_out, 0))
+                       / CAST(CASE WHEN n.n > 1 THEN n.n - 1 ELSE 1 END AS DOUBLE)
+                       AS degree_centrality
+            FROM verts v
+            LEFT JOIN ind ON v.id = ind.id
+            LEFT JOIN outd ON v.id = outd.id
+            CROSS JOIN n
+        """,
+        "graph_triangles": f"""
+            WITH e0 AS ({_CO_SUPPLIER_SQL}),
+            und AS (
+                SELECT DISTINCT LEAST(src_id, dst_id) AS a,
+                       GREATEST(src_id, dst_id) AS b
+                FROM e0 WHERE src_id <> dst_id
+            ),
+            deg AS (
+                SELECT v, COUNT(*) AS deg FROM (
+                    SELECT a AS v FROM und UNION ALL SELECT b FROM und
+                ) GROUP BY 1
+            ),
+            orient AS (
+                SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+                            THEN u.a ELSE u.b END AS lo,
+                       CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+                            THEN u.b ELSE u.a END AS hi
+                FROM und u
+                JOIN deg da ON u.a = da.v
+                JOIN deg db ON u.b = db.v
+            ),
+            tri AS (
+                SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+                FROM orient e1
+                JOIN orient e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+                WHERE EXISTS (
+                    SELECT 1 FROM und u
+                    WHERE u.a = LEAST(e1.hi, e2.hi) AND u.b = GREATEST(e1.hi, e2.hi)
+                )
+            ),
+            corners AS (
+                SELECT x AS id FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ),
+            verts AS (SELECT src_id AS id FROM e0 UNION SELECT dst_id FROM e0)
+            SELECT v.id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS triangle_count
+            FROM verts v
+            LEFT JOIN (SELECT id, COUNT(*) AS cnt FROM corners GROUP BY 1) c
+                   ON v.id = c.id
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len({_TOKENS}) END AS BIGINT) AS n_tokens,
+                   ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                         / CAST(GREATEST(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+                   ROUND(len(list_filter({_TOKENS}, t -> list_contains({stop_list}, t)))
+                         / CAST(GREATEST(len({_TOKENS}), 1) AS DOUBLE), 6) AS stopword_ratio,
+                   ROUND(list_sum(list_transform({_TOKENS}, t -> length(t)))
+                         / CAST(GREATEST(len({_TOKENS}), 1) AS DOUBLE), 6) AS mean_word_len
+            FROM documents
+        """,
+        "doc_langid": f"""
+            SELECT doc_id, score_en, score_es, score_de, score_fr,
+                   {guess_chain} AS lang_guess
+            FROM (
+                SELECT doc_id,
+                       {lang_score['en']} AS score_en,
+                       {lang_score['es']} AS score_es,
+                       {lang_score['de']} AS score_de,
+                       {lang_score['fr']} AS score_fr
+                FROM documents
+            )
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len({_TOKENS}) END AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+                        AS BIGINT) AS n_bpe_tokens,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "doc_dedup_exact": """
+            SELECT doc_id, master_id, group_size FROM (
+                SELECT doc_id,
+                       MIN(doc_id) OVER (PARTITION BY key) AS master_id,
+                       COUNT(*) OVER (PARTITION BY key) AS group_size
+                FROM (
+                    SELECT doc_id,
+                           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS key
+                    FROM documents
+                )
+            ) WHERE group_size >= 2
+        """,
+        "doc_ngram_jaccard": f"""
+            WITH sh AS (
+                SELECT doc_id, source, {_SHINGLES} AS s FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   ROUND(len(list_intersect(a.s, b.s))
+                         / CAST(GREATEST(len(list_distinct(list_concat(a.s, b.s))), 1)
+                                AS DOUBLE), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE ROUND(len(list_intersect(a.s, b.s))
+                  / CAST(GREATEST(len(list_distinct(list_concat(a.s, b.s))), 1) AS DOUBLE),
+                  6) >= 0.5
+        """,
+        "emb_near_dup": """
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6) >= 0.3
+        """,
+        "emb_topk": """
+            SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                       ROUND(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                    q.embedding::DOUBLE[]), 6) AS cos_sim,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY ROUND(list_cosine_similarity(c.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[]), 6) DESC,
+                                    c.vec_id ASC
+                       ) AS rank
+                FROM embeddings c
+                CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+            ) WHERE rank <= 10
+        """,
+    }

@@ -1,0 +1,335 @@
+"""Deduplication operators over a documents table.
+
+The reference dedups graph nodes by embedding similarity + union-find
+(src/dedup.py:169-281); at training-data scale the same shapes appear
+as: exact dedup, MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup. All are DataFrame-only; near-dup clustering
+reuses the connected-components superstep as distributed union-find
+(SURVEY.md G11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# -- exact ---------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: every doc mapped to the master
+    (min doc_id) of its normalized-text group.
+    → (doc_id, master_id, group_size); only rows in groups of ≥2."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    keyed = docs.select("doc_id", F.md5(norm).alias("key"))
+    w = Window.partitionBy("key")
+    return (
+        keyed.withColumn("master_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("group_size") >= 2)
+        .select("doc_id", "master_id", F.col("group_size").cast("long"))
+    )
+
+
+# -- shingling / n-gram Jaccard ------------------------------------------
+
+
+def _shingles(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of the lowercased text."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(ngrams)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    block_col: str | None = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Pairs are blocked by ``block_col`` (e.g. source/domain) to bound
+    the quadratic term — the scale path replaces blocking with MinHash
+    LSH buckets (minhash_lsh_pairs) and uses this only to verify.
+    → (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+    """
+    sh = docs.select(
+        "doc_id", *( [block_col] if block_col else [] ), _shingles(text_col, n).alias("sh")
+    )
+    join_keys = [block_col] if block_col else []
+    a = sh.select(
+        *join_keys, F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = sh.select(
+        *join_keys, F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    pairs = a.join(b, join_keys) if join_keys else a.crossJoin(b)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# -- MinHash + LSH ---------------------------------------------------------
+
+# 2^31-1: keeps (h % p) * a + b < 2^62 — no int64 overflow under Spark's
+# ANSI mode (h, a, b all < p).
+_MERSENNE = (1 << 31) - 1
+
+
+def minhash_signature(
+    docs: DataFrame, num_hashes: int = 32, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """k-permutation MinHash over word-n-gram shingles.
+    → (doc_id, sig array<long>). Deterministic seeded affine hashes of
+    xxhash64(shingle) modulo a Mersenne prime."""
+    sh = docs.select("doc_id", _shingles(text_col, n).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    hashed = sh.select(
+        "doc_id",
+        F.transform(
+            "sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+        ).alias("hv"),
+    )
+    # seeded affine permutations; coefficients from a fixed LCG
+    rng_a, rng_b = [], []
+    state = 42
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        rng_a.append(state % (_MERSENNE - 1) + 1)
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        rng_b.append(state % _MERSENNE)
+    def perm(a: int, b: int):
+        return lambda h: (h * a + b) % _MERSENNE
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform("hv", perm(a, b)))
+            for a, b in zip(rng_a, rng_b)
+        ]
+    )
+    return hashed.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Banded-LSH candidate generation + exact Jaccard verification.
+
+    shingle → minhash → band → bucket-join → verify. The band
+    bucket-join replaces the quadratic all-pairs comparison; candidates
+    are verified with exact shingle Jaccard so the output is exact
+    above ``threshold`` (up to LSH recall).
+    → (doc_a, doc_b, jaccard)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(docs, num_hashes=num_hashes, n=n, text_col=text_col)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[i * rows_per_band + j]
+                                    for j in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = docs.select("doc_id", _shingles(text_col, n).alias("sh"))
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+# -- SimHash ---------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word tokens: sign-sum of per-token hash bits.
+    → (doc_id, simhash long)."""
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    hv = docs.select("doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("hv"))
+
+    def bit_vote(i: int):
+        # per-bit vote: +1 if bit set else -1, summed over tokens
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for i in range(bits):
+        vote = F.aggregate("hv", F.lit(0).cast("long"), bit_vote(i))
+        bit_cols.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(0))
+    sh = None
+    for i, b in enumerate(bit_cols):
+        term = F.shiftleft(b, i)
+        sh = term if sh is None else sh.bitwiseOR(term)
+    return hv.select("doc_id", sh.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation blocks on 4 × 16-bit chunks (any pair within
+    Hamming ≤ 3 of 64 bits shares at least one exact 16-bit chunk —
+    pigeonhole), then verifies with bit_count(xor).
+    → (doc_a, doc_b, hamming)."""
+    sh = simhash(docs, text_col=text_col)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk", "cc.val")
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# -- embedding cosine near-dup ----------------------------------------------
+
+
+def cosine(a, b) -> F.Column:
+    """Cosine similarity of two array<float/double> columns — pure
+    built-ins (zip_with dot / norms), reference semantics
+    src/utils/llm_embeddings.py:387-402."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (reference dedup threshold 0.85,
+    src/config.toml:99). Brute-force within optional blocks; the scale
+    path is LSH bucketing (operators/similarity.py).
+    → (doc_a, doc_b, cos_sim)."""
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")] + (
+        [F.col(block_col).alias("blk")] if block_col else []
+    )
+    e = embeddings.select(*cols)
+    keys = ["blk"] if block_col else []
+    a = e.select(*keys, F.col("id").alias("doc_a"), F.col("v").alias("va"))
+    b = e.select(*keys, F.col("id").alias("doc_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, keys) if keys else a.crossJoin(b)
+    return (
+        pairs.filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# -- clustering (union-find as connected components) -------------------------
+
+
+def duplicate_clusters(
+    spark: SparkSession, pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Cluster duplicate pairs and pick the master = min id per cluster
+    (reference union-find with min-master, src/dedup.py:231-281) —
+    reuses the connected-components superstep (SURVEY.md G11).
+    → (doc_id, master_id)."""
+    from k2_18_spark.graph.components import connected_components
+
+    edges = pairs.select(
+        F.col(a_col).cast("string").alias("src_id"),
+        F.col(b_col).cast("string").alias("dst_id"),
+    )
+    comp = connected_components(spark, edges)
+    w = Window.partitionBy("component_id")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.min("id").over(w).alias("master_id"),
+    )
