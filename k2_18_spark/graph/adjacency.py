@@ -124,13 +124,24 @@ def build_adjacency(
     hub_ids: list = []
     edges_hub = edges_tail = None
     if hub_top_k and hub_top_k > 0:
-        hub_ids = [
-            r["src_id"]
-            for r in out_w.orderBy(F.col("out_deg").desc())
-            .limit(hub_top_k)
-            .select("src_id")
-            .collect()
-        ]
+        # adaptive: splitting pays only under real skew — a hub source
+        # whose out-degree dwarfs the average would otherwise pin one
+        # join partition. Below 32× avg the plain shuffle join + AQE
+        # skew handling is cheaper than the extra union stage.
+        stats = out_w.agg(
+            F.max("out_deg").alias("mx"), F.avg("out_deg").alias("av")
+        ).collect()[0]
+        if stats["mx"] and stats["av"] and stats["mx"] >= 32 * stats["av"]:
+            hub_ids = [
+                r["src_id"]
+                for r in out_w.filter(
+                    F.col("out_deg") >= 32 * stats["av"]
+                )
+                .orderBy(F.col("out_deg").desc())
+                .limit(hub_top_k)
+                .select("src_id")
+                .collect()
+            ]
     if hub_ids:
         is_hub = F.col("src_id").isin(hub_ids)
         edges_hub = e.filter(is_hub).persist(StorageLevel.MEMORY_AND_DISK)

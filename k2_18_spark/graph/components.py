@@ -132,13 +132,15 @@ def _renumber(labels: DataFrame) -> DataFrame:
     """Sequential component IDs by ascending min-order label (T6).
 
     The label already equals the min original position of the
-    component, so dense_rank over it reproduces the reference numbering
-    (viz/graph2metrics.py:279-285)."""
-    from pyspark.sql.window import Window
-
-    return labels.select(
-        "id",
-        (F.dense_rank().over(Window.orderBy("label")) - 1)
+    component, so ranking the DISTINCT labels reproduces the reference
+    numbering (viz/graph2metrics.py:279-285). The global sort runs over
+    #components rows (small), never over |V| — the broadcast join maps
+    vertices to their component id without a second global sort."""
+    distinct = labels.select("label").distinct()
+    ranked = distinct.select(
+        "label",
+        (F.row_number().over(Window.orderBy("label")) - 1)
         .cast("int")
         .alias("component_id"),
     )
+    return labels.join(F.broadcast(ranked), "label").select("id", "component_id")

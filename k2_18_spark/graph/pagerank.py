@@ -41,6 +41,10 @@ class PowerIterationFailedConvergence(RuntimeError):
     pass
 
 
+# iterations executed by the most recent pagerank() call (bench probe)
+LAST_RUN_ITERATIONS: int = 0
+
+
 def _superstep(
     ranks: DataFrame,
     adj: Adjacency,
@@ -152,7 +156,9 @@ def pagerank(
         or 0.0
     )
 
+    global LAST_RUN_ITERATIONS
     converged = False
+    it = start_iter - 1
     for it in range(start_iter, max_iter):
         new_ranks = _superstep(ranks, adj, alpha, n, dangling_mass)
         if store is not None:
@@ -172,6 +178,8 @@ def pagerank(
                 # Mark the final iteration as converged for resume.
                 store.annotate(it, converged=True)
             break
+
+    LAST_RUN_ITERATIONS = it + 1
 
     if not converged and strict:
         raise PowerIterationFailedConvergence(

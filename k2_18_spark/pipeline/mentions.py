@@ -1,0 +1,108 @@
+"""Concept-mention mining (SURVEY.md J6/F10) + final ID assignment (F9).
+
+Reference semantics (src/itext2kg_graph.py:611-680): for every Chunk ×
+concept, search lowercased chunk text for the primary term or any
+alias with a word-boundary regex; hits get a MENTIONS edge
+(chunk → concept, weight 0.35, conditions='auto_generated') unless a
+MENTIONS edge for that pair already exists.
+
+Spark realization: broadcast nested-loop join — the concept dictionary
+is small relative to the chunk corpus (reference holds it in memory),
+so ``chunks ⋈ broadcast(terms)`` with a JVM-side ``regexp_like``
+predicate; no Python in the hot path. At 100 TB the same shape holds:
+the dictionary broadcast is a few MB while chunks stream through.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+AUTO_MENTIONS_WEIGHT = 0.35  # reference src/config.toml:82
+
+
+def _regex_escape(col):
+    """Escape regex metacharacters (re.escape equivalent, JVM-side)."""
+    return F.regexp_replace(col, r"([\\.\[\]{}()*+?^$|])", r"\\$1")
+
+
+def concept_terms(concepts: DataFrame) -> DataFrame:
+    """Explode concept dict → (concept_id, term) rows, primary first."""
+    prim = concepts.select(
+        "concept_id", F.lower(F.col("term.primary")).alias("term")
+    )
+    alias = concepts.select(
+        "concept_id",
+        F.explode_outer(F.col("term.aliases")).alias("a"),
+    ).select("concept_id", F.lower(F.col("a")).alias("term")).filter(
+        F.col("term").isNotNull()
+    )
+    return prim.unionByName(alias).distinct()
+
+
+def mine_mentions(
+    chunks: DataFrame,
+    concepts: DataFrame,
+    existing_edges: DataFrame | None = None,
+    weight: float = AUTO_MENTIONS_WEIGHT,
+) -> DataFrame:
+    """→ MENTIONS edge table (src_id, dst_id, edge_type, weight,
+    conditions). ``chunks`` needs (id, type, text)."""
+    terms = concept_terms(concepts).withColumn(
+        "pattern", F.concat(F.lit(r"\b"), _regex_escape(F.col("term")), F.lit(r"\b"))
+    )
+    c = chunks.filter(F.col("type") == "Chunk").select(
+        F.col("id").alias("src_id"), F.lower(F.col("text")).alias("lc_text")
+    )
+    hits = (
+        c.join(F.broadcast(terms), F.expr("regexp_like(lc_text, pattern)"))
+        .select("src_id", F.col("concept_id").alias("dst_id"))
+        .distinct()
+    )
+    if existing_edges is not None:
+        existing = existing_edges.filter(
+            F.col("edge_type") == "MENTIONS"
+        ).select("src_id", "dst_id")
+        hits = hits.join(existing, ["src_id", "dst_id"], "left_anti")
+    return hits.select(
+        "src_id",
+        "dst_id",
+        F.lit("MENTIONS").alias("edge_type"),
+        F.lit(float(weight)).alias("weight"),
+        F.lit("auto_generated").alias("conditions"),
+    )
+
+
+# -- F9: final ID assignment ---------------------------------------------------
+
+def assign_final_ids(
+    nodes: DataFrame,
+    slice_token_start_col: str = "slice_token_start",
+    slug_col: str = "slug",
+) -> DataFrame:
+    """Temporary → positional ids (reference src/itext2kg_graph.py:682-750):
+    Chunk ``{slug}:c:{slice_token_start + node_offset}``; Assessment
+    ``{slug}:q:{slice_token_start}:{k}`` (k = per-slice index).
+    Adds ``final_id``; join it back onto edges to remap endpoints."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(slug_col, slice_token_start_col, "type").orderBy("id")
+    pos = F.col(slice_token_start_col) + F.coalesce(F.col("node_offset"), F.lit(0))
+    return nodes.withColumn(
+        "final_id",
+        F.when(
+            F.col("type") == "Chunk",
+            F.concat_ws(":", F.col(slug_col), F.lit("c"), pos.cast("string")),
+        )
+        .when(
+            F.col("type") == "Assessment",
+            F.concat_ws(
+                ":",
+                F.col(slug_col),
+                F.lit("q"),
+                F.col(slice_token_start_col).cast("string"),
+                (F.row_number().over(w) - 1).cast("string"),
+            ),
+        )
+        .otherwise(F.col("id")),
+    )
