@@ -1,0 +1,167 @@
+"""Distance centralities: weighted betweenness + out-closeness
+(SURVEY.md G6/G7 — the reference's scaling wall).
+
+Reference semantics (viz/graph2metrics.py:227-255):
+- betweenness: ``nx.betweenness_centrality(G, weight="inverse_weight",
+  normalized=True)`` — Brandes over Dijkstra distances; n<3 → all 0
+- out-closeness: ``nx.closeness_centrality(G.reverse(),
+  distance="inverse_weight", wf_improved=True)``. nx internally
+  reverses again, so distances run FROM u on the original graph:
+  ``C(u) = (reach-1)/Σd · (reach-1)/(n-1)``; n≤1 → 0.
+
+Distributed realization: exact Brandes is O(V·E) with no cheap
+distributed form, but it is *embarrassingly parallel over sources*.
+We build a CSR adjacency on the driver, broadcast it, and fan the
+source loop out with ``mapInPandas`` — each task runs
+Dijkstra+dependency-accumulation for its source batch in pure Python
+over the broadcast arrays and emits per-vertex partial deltas, which a
+groupBy-sum reduces. ``sample_k`` switches to sampled-source
+approximation (nx's k-sample semantics: deltas rescaled by n/k) — the
+scale path the reference spec itself recommends
+(docs/specs/viz_graph2metrics.md:767).
+
+Ceiling: the broadcast CSR must fit in executor memory (~1e7 edges);
+the reference caps at ~5e3 nodes, so exact fixture parity is well
+inside the envelope.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k2_18_spark.graph.adjacency import metrics_view, vertex_ids
+
+
+def _collect_csr(edges: DataFrame, nodes: DataFrame | None):
+    """Driver-side CSR over the metrics view with inverse weights."""
+    verts = sorted(
+        r["id"] for r in vertex_ids(edges, nodes).collect()
+    )
+    index = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    adj: list[list[tuple[int, float]]] = [[] for _ in range(n)]
+    for r in metrics_view(edges).select("src_id", "dst_id", "weight").collect():
+        w = r["weight"]
+        inv = 1.0 / w if w and w > 0 else float("inf")
+        adj[index[r["src_id"]]].append((index[r["dst_id"]], inv))
+    return verts, adj
+
+
+def _brandes_source(adj, s: int, n: int):
+    """Dijkstra + Brandes dependency accumulation from source s.
+    → (delta array, dist sum, reach count)."""
+    dist = [float("inf")] * n
+    sigma = [0.0] * n
+    preds: list[list[int]] = [[] for _ in range(n)]
+    dist[s] = 0.0
+    sigma[s] = 1.0
+    seen: list[int] = []
+    done = [False] * n
+    heap = [(0.0, s)]
+    while heap:
+        d, v = heapq.heappop(heap)
+        if done[v]:
+            continue
+        done[v] = True
+        seen.append(v)
+        for w, cost in adj[v]:
+            nd = d + cost
+            if nd < dist[w]:
+                dist[w] = nd
+                sigma[w] = sigma[v]
+                preds[w] = [v]
+                heapq.heappush(heap, (nd, w))
+            elif nd == dist[w] and not done[w]:
+                sigma[w] += sigma[v]
+                preds[w].append(v)
+    delta = [0.0] * n
+    for w in reversed(seen):
+        for v in preds[w]:
+            delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+    delta[s] = 0.0
+    finite = [d for d in dist if d < float("inf")]
+    return delta, sum(finite), len(finite)
+
+
+def betweenness_closeness(
+    spark: SparkSession,
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    sample_k: int | None = None,
+    num_slices: int | None = None,
+) -> DataFrame:
+    """→ (id, betweenness_centrality, out_closeness)."""
+    verts, adj = _collect_csr(edges, nodes)
+    n = len(verts)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "id string, betweenness_centrality double, out_closeness double"
+        )
+
+    if sample_k is not None and sample_k < n:
+        # deterministic stride sample of sources
+        stride = max(1, n // sample_k)
+        sources = list(range(0, n, stride))[:sample_k]
+    else:
+        sources = list(range(n))
+    k = len(sources)
+
+    bc_adj = spark.sparkContext.broadcast(adj)
+
+    def run_sources(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local_adj = bc_adj.value
+        for pdf in batches:
+            out_idx: list[int] = []
+            out_delta: list[float] = []
+            out_clo: list[float] = []
+            for s in pdf["s"]:
+                delta, totsp, reach = _brandes_source(local_adj, int(s), n)
+                for i, d in enumerate(delta):
+                    if d != 0.0:
+                        out_idx.append(i)
+                        out_delta.append(d)
+                        out_clo.append(0.0)
+                # closeness row for the source itself
+                if totsp > 0.0 and n > 1 and reach > 1:
+                    clo = (reach - 1.0) / totsp * ((reach - 1.0) / (n - 1.0))
+                else:
+                    clo = 0.0
+                out_idx.append(int(s))
+                out_delta.append(0.0)
+                out_clo.append(clo)
+            yield pd.DataFrame(
+                {"idx": out_idx, "delta": out_delta, "closeness": out_clo}
+            )
+
+    slices = num_slices or min(k, spark.sparkContext.defaultParallelism * 4)
+    src_df = spark.createDataFrame([(s,) for s in sources], "s int").repartition(
+        slices
+    )
+    partials = src_df.mapInPandas(run_sources, "idx int, delta double, closeness double")
+    agg = partials.groupBy("idx").agg(
+        F.sum("delta").alias("delta"), F.sum("closeness").alias("out_closeness")
+    )
+
+    # nx normalization: directed scale 1/((n-1)(n-2)); k-sample → ×(n/k)
+    if n > 2:
+        scale = 1.0 / ((n - 1.0) * (n - 2.0)) * (float(n) / k)
+    else:
+        scale = 0.0
+    vert_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(verts)], "idx int, id string"
+    )
+    return (
+        vert_df.join(agg, "idx", "left")
+        .select(
+            "id",
+            (F.coalesce("delta", F.lit(0.0)) * F.lit(scale)).alias(
+                "betweenness_centrality"
+            ),
+            F.coalesce("out_closeness", F.lit(0.0)).alias("out_closeness"),
+        )
+    )

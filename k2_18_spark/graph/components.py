@@ -60,15 +60,16 @@ def connected_components(
         return spark.createDataFrame([], "id string, component_id int")
 
     # Symmetrized edge list keyed by vertex (U3) — built & persisted once.
+    # partitioned by b — the per-superstep join key — so only the label
+    # vector shuffles each round, never the edge table
     sym = (
         edges.select(F.col("src_id").alias("a"), F.col("dst_id").alias("b"))
         .union(edges.select(F.col("dst_id").alias("a"), F.col("src_id").alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .repartition(*( [num_partitions, "b"] if num_partitions else ["b"] ))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if num_partitions:
-        sym = sym.repartition(num_partitions, "a")
-    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
 
     store = CheckpointStore(spark, checkpoint_dir, job_name) if checkpoint_dir else None
 

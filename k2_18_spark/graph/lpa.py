@@ -73,12 +73,12 @@ def label_propagation(
 
     proj = undirected_projection(edges)
     # both directions for message passing: (v, nbr, weight)
-    sym = proj.select(
-        F.col("a").alias("v"), F.col("b").alias("nbr"), "weight"
-    ).union(proj.select(F.col("b").alias("v"), F.col("a").alias("nbr"), "weight"))
-    if num_partitions:
-        sym = sym.repartition(num_partitions, "nbr")
-    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    sym = (
+        proj.select(F.col("a").alias("v"), F.col("b").alias("nbr"), "weight")
+        .union(proj.select(F.col("b").alias("v"), F.col("a").alias("nbr"), "weight"))
+        .repartition(*( [num_partitions, "nbr"] if num_partitions else ["nbr"] ))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     store = CheckpointStore(spark, checkpoint_dir, job_name) if checkpoint_dir else None
     labels = None
@@ -105,12 +105,14 @@ def label_propagation(
             .groupBy(F.col("v").alias("id"), "label")
             .agg(F.sum("weight").alias("w"))
         )
-        win = Window.partitionBy("id").orderBy(F.col("w").desc(), F.col("label").asc())
-        best = (
-            votes.withColumn("_rn", F.row_number().over(win))
-            .filter(F.col("_rn") == 1)
-            .select("id", F.col("label").alias("best_label"))
-        )
+        # argmax(w) with min-label tie-break as a single hash aggregate
+        # (map-side partial; no sort-window — hub vertices don't force a
+        # per-partition sort)
+        best = votes.groupBy("id").agg(
+            F.max(F.struct(F.col("w"), (-F.col("label")).alias("neg_label"))).alias(
+                "m"
+            )
+        ).select("id", (-F.col("m.neg_label")).alias("best_label"))
         # semi-synchronous: only this round's parity class updates
         active = F.pmod(F.xxhash64(F.col("id")), F.lit(2)) == F.lit(it % 2)
         new_labels = (

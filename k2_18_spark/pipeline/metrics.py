@@ -1,0 +1,118 @@
+"""The full graph2metrics DAG (SURVEY.md §3.1) — the engine's flagship.
+
+Mirrors the reference's mandated computation order
+(viz/graph2metrics.py:739-885; docs "Computation Sequence"):
+
+1. inverse edge weights (F11)
+2. degrees + degree centrality + weighted PageRank (A1/A2/G1)
+3. betweenness + out-closeness (G6/G7)
+4. component ids, deterministic renumbering (G3)
+5. prerequisite depth / learning effort (G5)
+6. educational importance (G2)
+7. PageRank-sum invariants (A4)
+8. clustering (LPA — distributed stand-in for Louvain, SURVEY §7)
+9. bridge scores + inter-cluster edge marking (G9/G10)
+10. metrics joined back onto nodes/edges (J8)
+
+Returns (nodes_with_metrics, edges_with_metrics, summary_dict).
+Iterative stages share the superstep/checkpoint machinery; the
+join-back is a chain of left joins on id (one shuffle each, all
+vertex-sized tables — AQE broadcasts the small sides at fixture scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k2_18_spark.functions.weights import safe_metric, sanitized_inverse_weight
+from k2_18_spark.graph.centrality import betweenness_closeness
+from k2_18_spark.graph.components import connected_components
+from k2_18_spark.graph.lpa import label_propagation
+from k2_18_spark.graph.pagerank import educational_importance, pagerank
+from k2_18_spark.graph.scc import prerequisite_metrics
+from k2_18_spark.operators.degrees import degrees
+from k2_18_spark.operators.graph_ops import bridge_scores, mark_inter_cluster_edges
+
+
+def compute_all_metrics(
+    spark: SparkSession,
+    nodes: DataFrame,
+    edges: DataFrame,
+    checkpoint_dir: str | None = None,
+    betweenness_sample_k: int | None = None,
+    bridge_weight_betweenness: float = 0.7,
+) -> tuple[DataFrame, DataFrame, dict]:
+    """nodes/edges → (nodes+12 metrics, edges+inverse_weight+cluster
+    marks, summary)."""
+    nodes = nodes.cache()
+    edges = edges.cache()
+
+    deg = degrees(edges, nodes)
+    pr = pagerank(
+        spark, edges, nodes=nodes, checkpoint_dir=checkpoint_dir, job_name="pagerank"
+    ).withColumnRenamed("rank", "pagerank")
+    cent = betweenness_closeness(
+        spark, edges, nodes=nodes, sample_k=betweenness_sample_k
+    )
+    comp = connected_components(
+        spark, edges, nodes=nodes, checkpoint_dir=checkpoint_dir
+    )
+    prereq = prerequisite_metrics(spark, edges, nodes)
+    edu = educational_importance(
+        spark, edges, nodes=nodes, checkpoint_dir=checkpoint_dir
+    ).withColumnRenamed("rank", "educational_importance")
+    clusters = label_propagation(
+        spark, edges, nodes=nodes, checkpoint_dir=checkpoint_dir
+    )
+
+    bridge = bridge_scores(
+        edges,
+        clusters,
+        cent.select("id", "betweenness_centrality"),
+        w_b=bridge_weight_betweenness,
+    )
+
+    node_metrics = (
+        deg.join(pr, "id", "left")
+        .join(cent, "id", "left")
+        .join(comp, "id", "left")
+        .join(prereq, "id", "left")
+        .join(edu, "id", "left")
+        .join(clusters, "id", "left")
+        .join(bridge, "id", "left")
+    )
+    # NaN/inf/None → 0.0 for float metrics (reference safe_metric_value)
+    float_metrics = [
+        "degree_centrality",
+        "pagerank",
+        "betweenness_centrality",
+        "out_closeness",
+        "educational_importance",
+        "learning_effort",
+        "bridge_score",
+    ]
+    for c in float_metrics:
+        node_metrics = node_metrics.withColumn(c, safe_metric(F.col(c)))
+
+    nodes_out = nodes.join(node_metrics, "id", "left")
+
+    edges_iw = edges.withColumn(
+        "inverse_weight", sanitized_inverse_weight(F.col("weight"))
+    )
+    edges_out = mark_inter_cluster_edges(edges_iw, clusters)
+
+    # A4 invariants: PageRank mass conservation
+    pr_sum = pr.agg(F.sum("pagerank")).collect()[0][0] or 0.0
+    edu_sum = edu.agg(F.sum("educational_importance")).collect()[0][0] or 0.0
+    summary = {
+        "nodes": nodes.count(),
+        "edges": edges.count(),
+        "pagerank_sum": pr_sum,
+        "educational_importance_sum": edu_sum,
+        "pagerank_sum_ok": abs(pr_sum - 1.0) <= 0.01,
+        "educational_importance_sum_ok": abs(edu_sum - 1.0) <= 0.01,
+        "num_components": comp.agg(F.countDistinct("component_id")).collect()[0][0],
+        "num_clusters": clusters.agg(F.countDistinct("cluster_id")).collect()[0][0],
+    }
+    return nodes_out, edges_out, summary
