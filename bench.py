@@ -47,9 +47,11 @@ def main() -> None:
     sf = sf_from_dir(sf_dir)
     use_ckpt = os.environ.get("BENCH_CHECKPOINT", "0") == "1"
 
-    # graph size: sf0.1 → 100k vertices / 1.5M edges (avg degree 15)
-    num_v = max(1000, int(1_000_000 * sf))
-    num_e = num_v * 15
+    # graph size: sf0.1 → 100k vertices / 1.5M edges (avg degree 15);
+    # BENCH_GRAPH_V/E override for scaling runs (bigger graph → compute
+    # dominates fixed per-superstep scheduling overhead)
+    num_v = int(os.environ.get("BENCH_GRAPH_V", max(1000, int(1_000_000 * sf))))
+    num_e = int(os.environ.get("BENCH_GRAPH_E", num_v * 15))
 
     spark = get_spark(
         app_name="k2_18_bench",
@@ -109,6 +111,19 @@ def main() -> None:
     timed("components", lambda: connected_components(spark, edges, nodes=nodes).count())
     timed("lpa", lambda: label_propagation(spark, edges, nodes=nodes, max_iter=10).count())
     timed("triangles", lambda: float(triangle_count(spark, edges)))
+
+    # CPU-bound sampled-source Brandes (pure-Python work per source over a
+    # broadcast CSR — the workload where core-count scaling is visible on
+    # a single box; run on a capped subgraph so the CSR collect stays small)
+    if num_e <= 2_000_000:
+        from k2_18_spark.graph.centrality import betweenness_closeness
+
+        timed(
+            "betweenness_s64",
+            lambda: betweenness_closeness(
+                spark, edges, nodes=nodes, sample_k=64
+            ).count(),
+        )
 
     # -- data-pipeline queries on the sf parquet tables
     import __spark_entry__ as entry_mod

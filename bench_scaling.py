@@ -19,7 +19,14 @@ import sys
 
 
 def run_at(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        # scaling runs use the larger graph so per-superstep compute
+        # dominates fixed scheduling overhead (see BASELINE.md)
+        BENCH_GRAPH_V=os.environ.get("BENCH_GRAPH_V", "1000000"),
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
         env=env,
@@ -47,7 +54,13 @@ def main() -> None:
         pr_eff = (
             high["pagerank_edges_per_sec"] / low["pagerank_edges_per_sec"]
         ) / 4.0
+    bet_eff = None
+    if "betweenness_s64" in low["queries"] and "betweenness_s64" in high["queries"]:
+        bet_eff = (
+            low["queries"]["betweenness_s64"] / high["queries"]["betweenness_s64"]
+        ) / 4.0
     result = {
+        "betweenness_scaling_efficiency": round(bet_eff, 3) if bet_eff else None,
         "metric": "scaling_efficiency_8_to_32",
         "value": round(eff, 3),
         "unit": "ratio",

@@ -92,21 +92,44 @@ def build_adjacency(
     single multiply (no per-iteration normalization job). Edges are
     repartitioned by src_id (CSR-style bucketing) and persisted.
     """
-    e = metrics_view(edges).select("src_id", "dst_id", "weight")
+    # ONE shuffle builds the whole adjacency: hash(src_id) partitioning
+    # satisfies the clustering requirement of the (src,dst) collapse, the
+    # out-weight aggregate, AND the normalization join (subset rule), so
+    # everything below the repartition is exchange-free.
+    raw = edges.select("src_id", "dst_id", "weight", *(
+        ["edge_order"] if "edge_order" in edges.columns else []
+    ))
     if num_partitions:
-        e = e.repartition(num_partitions, "src_id")
+        raw = raw.repartition(num_partitions, "src_id")
     else:
-        e = e.repartition("src_id")
+        raw = raw.repartition("src_id")
+    if "edge_order" in raw.columns:
+        w = Window.partitionBy("src_id", "dst_id").orderBy(F.col("edge_order").desc())
+        collapsed = (
+            raw.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "edge_order")
+        )
+    else:
+        collapsed = raw.dropDuplicates(["src_id", "dst_id"])
+    collapsed = collapsed.withColumn("weight", F.coalesce(F.col("weight"), F.lit(1.0)))
+    # build-scoped cache: every action below (edge materialization, vertex
+    # join, hub stats, hub split) reuses the collapse instead of replaying
+    # the 15M-row dedup lineage per action
+    collapsed = collapsed.persist(StorageLevel.MEMORY_AND_DISK)
 
-    out_w = e.groupBy("src_id").agg(
+    out_w = collapsed.groupBy("src_id").agg(
         F.sum("weight").alias("out_wsum"), F.count(F.lit(1)).alias("out_deg")
     )
+    # minimal row width for the per-superstep join: (src_id, dst_id, frac)
     e = (
-        e.join(out_w.select("src_id", "out_wsum"), "src_id")
-        .withColumn("frac", F.col("weight") / F.col("out_wsum"))
-        .sortWithinPartitions("src_id")
+        collapsed.join(out_w.select("src_id", "out_wsum"), "src_id")
+        .select(
+            "src_id", "dst_id", (F.col("weight") / F.col("out_wsum")).alias("frac")
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    e.count()  # materialize now — supersteps must not pay the build
 
     verts = (
         vertex_ids(edges, nodes)
@@ -146,6 +169,9 @@ def build_adjacency(
         is_hub = F.col("src_id").isin(hub_ids)
         edges_hub = e.filter(is_hub).persist(StorageLevel.MEMORY_AND_DISK)
         edges_tail = e.filter(~is_hub).persist(StorageLevel.MEMORY_AND_DISK)
+        edges_hub.count()
+        edges_tail.count()
+    collapsed.unpersist()
     return Adjacency(
         edges=e,
         vertices=verts,

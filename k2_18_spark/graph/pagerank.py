@@ -59,8 +59,11 @@ def _superstep(
     same aggregate pass as the previous iteration's L1 delta — one
     driver job per superstep, not two).
     """
-    edges = adj.edges  # src_id, dst_id, frac (+weight, out_wsum)
-    rank_src = ranks.select(F.col("id").alias("src_id"), "rank")
+    edges = adj.edges  # src_id, dst_id, frac
+    # shuffle_hash: build the hash table on the vertex-sized rank side,
+    # STREAM the persisted edge table — no per-superstep sort of |E| rows
+    # (sort-merge would re-sort the edges every iteration)
+    rank_src = ranks.select(F.col("id").alias("src_id"), "rank").hint("shuffle_hash")
 
     if adj.hub_ids:
         hub_ranks = rank_src.filter(F.col("src_id").isin(adj.hub_ids))
@@ -71,8 +74,11 @@ def _superstep(
     else:
         contribs = edges.join(rank_src, "src_id")
 
-    agg = contribs.groupBy(F.col("dst_id").alias("id")).agg(
-        F.sum(F.col("rank") * F.col("frac")).alias("contrib")
+    # shrink to (dst_id, contrib) before the aggregate shuffle
+    agg = (
+        contribs.select("dst_id", (F.col("rank") * F.col("frac")).alias("c"))
+        .groupBy(F.col("dst_id").alias("id"))
+        .agg(F.sum("c").alias("contrib"))
     )
 
     base = alpha * dangling_mass / n + (1.0 - alpha) / n
