@@ -161,12 +161,12 @@ def prerequisite_metrics(
 ) -> DataFrame:
     """→ (id, prerequisite_depth, learning_effort)."""
     prereq = edges.filter(F.upper(F.col("edge_type")) == "PREREQUISITE")
-    diff = nodes.select(
-        "id",
+    diff_col = (
         F.coalesce(F.col("difficulty"), F.lit(default_difficulty))
-        .cast("double")
-        .alias("difficulty"),
+        if "difficulty" in nodes.columns
+        else F.lit(default_difficulty)
     )
+    diff = nodes.select("id", diff_col.cast("double").alias("difficulty"))
 
     if prereq.isEmpty():
         return diff.select(
