@@ -46,9 +46,18 @@ def _co_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("S"), F.col("a.l_suppkey")).alias("src_id"),
             F.concat(F.lit("S"), F.col("b.l_suppkey")).alias("dst_id"),
         )
+        # discounts are multiples of 0.01 — sum them as exact integers and
+        # divide once, so Spark and the DuckDB oracle produce bit-identical
+        # doubles (float avg() differs by 1 ulp at round-half boundaries)
         .agg(
             F.round(
-                F.avg(1.0 - (F.col("a.l_discount") + F.col("b.l_discount")) / 2.0), 6
+                1.0
+                - F.sum(
+                    F.round(F.col("a.l_discount") * 100).cast("long")
+                    + F.round(F.col("b.l_discount") * 100).cast("long")
+                )
+                / (200.0 * F.count(F.lit(1))),
+                6,
             ).alias("weight"),
             F.count(F.lit(1)).alias("n_pairs"),
         )
@@ -61,7 +70,9 @@ _CO_SUPPLIER_SQL = """
 SELECT 'S' || a.l_suppkey AS src_id,
        'S' || b.l_suppkey AS dst_id,
        'CO_OCCUR' AS edge_type,
-       ROUND(AVG(1.0 - (a.l_discount + b.l_discount) / 2.0), 6) AS weight,
+       ROUND(1.0 - SUM(CAST(ROUND(a.l_discount * 100) AS BIGINT)
+                       + CAST(ROUND(b.l_discount * 100) AS BIGINT))
+                   / (200.0 * COUNT(*)), 6) AS weight,
        COUNT(*) AS n_pairs
 FROM lineitem a
 JOIN lineitem b

@@ -92,6 +92,18 @@ def build_adjacency(
     single multiply (no per-iteration normalization job). Edges are
     repartitioned by src_id (CSR-style bucketing) and persisted.
     """
+    from k2_18_spark.session import superstep_conf
+
+    with superstep_conf(edges.sparkSession):
+        return _build_adjacency(edges, nodes, num_partitions, hub_top_k)
+
+
+def _build_adjacency(
+    edges: DataFrame,
+    nodes: DataFrame | None,
+    num_partitions: int | None,
+    hub_top_k: int,
+) -> Adjacency:
     # ONE shuffle builds the whole adjacency: hash(src_id) partitioning
     # satisfies the clustering requirement of the (src,dst) collapse, the
     # out-weight aggregate, AND the normalization join (subset rule), so

@@ -49,6 +49,17 @@ def connected_components(
     lexicographic id (documented divergence: the reference renumbers by
     min *file position* — viz/graph2metrics.py:277-279).
     """
+    from k2_18_spark.session import superstep_conf
+
+    with superstep_conf(spark):
+        return _components_loop(
+            spark, edges, nodes, checkpoint_dir, job_name, max_iter, num_partitions
+        )
+
+
+def _components_loop(
+    spark, edges, nodes, checkpoint_dir, job_name, max_iter, num_partitions
+) -> DataFrame:
     if nodes is not None and "node_order" in nodes.columns:
         verts = nodes.select("id", F.col("node_order").alias("ord"))
     else:
@@ -70,6 +81,7 @@ def connected_components(
         .repartition(*( [num_partitions, "b"] if num_partitions else ["b"] ))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sym.count()  # eager — supersteps must not pay the build
 
     store = CheckpointStore(spark, checkpoint_dir, job_name) if checkpoint_dir else None
 
@@ -89,8 +101,14 @@ def connected_components(
         )
 
     for it in range(start_iter, max_iter):
+        # shuffle_hash: hash the |V|-sized label vector, stream the
+        # persisted symmetrized edges (no per-round sort of |2E| rows)
         neighbor_min = (
-            sym.join(labels.select(F.col("id").alias("b"), "label"), "b")
+            sym.join(
+                labels.select(F.col("id").alias("b"), "label").hint("shuffle_hash"),
+                "b",
+            )
+            .select("a", "label")
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )

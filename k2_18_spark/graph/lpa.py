@@ -60,6 +60,17 @@ def label_propagation(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """→ (id, cluster_id) — sequential ids by min member order (T6)."""
+    from k2_18_spark.session import superstep_conf
+
+    with superstep_conf(spark):
+        return _lpa_loop(
+            spark, edges, nodes, max_iter, checkpoint_dir, job_name, num_partitions
+        )
+
+
+def _lpa_loop(
+    spark, edges, nodes, max_iter, checkpoint_dir, job_name, num_partitions
+) -> DataFrame:
     if nodes is not None and "node_order" in nodes.columns:
         verts = nodes.select("id", F.col("node_order").alias("ord"))
     else:
@@ -79,6 +90,7 @@ def label_propagation(
         .repartition(*( [num_partitions, "nbr"] if num_partitions else ["nbr"] ))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sym.count()  # eager — supersteps must not pay the build
 
     store = CheckpointStore(spark, checkpoint_dir, job_name) if checkpoint_dir else None
     labels = None
@@ -100,8 +112,15 @@ def label_propagation(
     for it in range(start_iter, max_iter):
         # neighbor label weights: vote(v, label) = Σ weight of edges to
         # neighbors currently holding `label`
+        # shuffle_hash: hash the label vector, stream the edges
         votes = (
-            sym.join(labels.select(F.col("id").alias("nbr"), "label"), "nbr")
+            sym.join(
+                labels.select(F.col("id").alias("nbr"), "label").hint(
+                    "shuffle_hash"
+                ),
+                "nbr",
+            )
+            .select("v", "label", "weight")
             .groupBy(F.col("v").alias("id"), "label")
             .agg(F.sum("weight").alias("w"))
         )

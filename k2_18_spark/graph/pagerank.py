@@ -116,6 +116,19 @@ def pagerank(
     ``checkpoint_dir`` enables parquet checkpoints + lineage + resume;
     without it state is truncated via localCheckpoint (no resume).
     """
+    from k2_18_spark.session import superstep_conf
+
+    with superstep_conf(spark):
+        return _pagerank_loop(
+            spark, edges, nodes, alpha, max_iter, tol, checkpoint_dir,
+            job_name, num_partitions, hub_top_k, strict, adj,
+        )
+
+
+def _pagerank_loop(
+    spark, edges, nodes, alpha, max_iter, tol, checkpoint_dir,
+    job_name, num_partitions, hub_top_k, strict, adj,
+) -> DataFrame:
     own_adj = adj is None
     if adj is None:
         adj = build_adjacency(

@@ -9,8 +9,29 @@ Designed for a 1000-executor cluster but testable on local[N]:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def superstep_conf(spark: SparkSession):
+    """Run a superstep loop with AQE disabled, restoring it after.
+
+    AQE materializes every shuffle stage to re-plan — measurably worse
+    for iterative jobs that issue dozens of small, identically-shaped
+    queries (30-60% per-superstep latency here). Skew inside the loops
+    is handled explicitly (hub broadcast split, map-side partial
+    aggregation), so AQE's skew-join protection isn't needed there;
+    ad-hoc relational queries keep AQE on.
+    """
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def get_spark(
