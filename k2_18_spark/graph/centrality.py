@@ -38,23 +38,35 @@ from k2_18_spark.graph.adjacency import metrics_view, vertex_ids
 
 
 def _collect_csr(edges: DataFrame, nodes: DataFrame | None):
-    """Driver-side CSR over the metrics view with inverse weights."""
-    verts = sorted(
-        r["id"] for r in vertex_ids(edges, nodes).collect()
-    )
+    """Driver-side numpy CSR over the metrics view with inverse weights.
+
+    Arrow toPandas keeps the serial driver transfer fast, and numpy
+    arrays make the broadcast cheap to deserialize per worker process
+    (unpickling 10^6s of Python tuples was the hidden serial cost that
+    killed source-parallel speedup — numpy unpickles as one memcpy).
+    Returns (verts, indptr, indices, weights)."""
+    import numpy as np
+
+    verts = sorted(vertex_ids(edges, nodes).toPandas()["id"].tolist())
     index = {v: i for i, v in enumerate(verts)}
     n = len(verts)
-    adj: list[list[tuple[int, float]]] = [[] for _ in range(n)]
-    for r in metrics_view(edges).select("src_id", "dst_id", "weight").collect():
-        w = r["weight"]
-        inv = 1.0 / w if w and w > 0 else float("inf")
-        adj[index[r["src_id"]]].append((index[r["dst_id"]], inv))
-    return verts, adj
+    pdf = metrics_view(edges).select("src_id", "dst_id", "weight").toPandas()
+    srcs = pdf["src_id"].map(index).to_numpy(dtype=np.int64)
+    dsts = pdf["dst_id"].map(index).to_numpy(dtype=np.int64)
+    ws = pdf["weight"].to_numpy(dtype=np.float64)
+    with np.errstate(divide="ignore"):
+        inv = np.where(ws > 0, 1.0 / np.maximum(ws, 1e-300), np.inf)
+    order = np.argsort(srcs, kind="stable")
+    srcs, dsts, inv = srcs[order], dsts[order], inv[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, srcs + 1, 1)
+    indptr = np.cumsum(indptr)
+    return verts, indptr, dsts, inv
 
 
-def _brandes_source(adj, s: int, n: int):
-    """Dijkstra + Brandes dependency accumulation from source s.
-    → (delta array, dist sum, reach count)."""
+def _brandes_source(indptr, indices, weights, s: int, n: int):
+    """Dijkstra + Brandes dependency accumulation from source s over a
+    numpy CSR. → (delta array, dist sum, reach count)."""
     dist = [float("inf")] * n
     sigma = [0.0] * n
     preds: list[list[int]] = [[] for _ in range(n)]
@@ -69,8 +81,9 @@ def _brandes_source(adj, s: int, n: int):
             continue
         done[v] = True
         seen.append(v)
-        for w, cost in adj[v]:
-            nd = d + cost
+        for j in range(indptr[v], indptr[v + 1]):
+            w = int(indices[j])
+            nd = d + float(weights[j])
             if nd < dist[w]:
                 dist[w] = nd
                 sigma[w] = sigma[v]
@@ -96,7 +109,7 @@ def betweenness_closeness(
     num_slices: int | None = None,
 ) -> DataFrame:
     """→ (id, betweenness_centrality, out_closeness)."""
-    verts, adj = _collect_csr(edges, nodes)
+    verts, indptr, indices, weights = _collect_csr(edges, nodes)
     n = len(verts)
     if n == 0:
         return spark.createDataFrame(
@@ -111,16 +124,18 @@ def betweenness_closeness(
         sources = list(range(n))
     k = len(sources)
 
-    bc_adj = spark.sparkContext.broadcast(adj)
+    bc_csr = spark.sparkContext.broadcast((indptr, indices, weights))
 
     def run_sources(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local_adj = bc_adj.value
+        l_indptr, l_indices, l_weights = bc_csr.value
         for pdf in batches:
             out_idx: list[int] = []
             out_delta: list[float] = []
             out_clo: list[float] = []
             for s in pdf["s"]:
-                delta, totsp, reach = _brandes_source(local_adj, int(s), n)
+                delta, totsp, reach = _brandes_source(
+                    l_indptr, l_indices, l_weights, int(s), n
+                )
                 for i, d in enumerate(delta):
                     if d != 0.0:
                         out_idx.append(i)

@@ -112,7 +112,10 @@ def _lpa_loop(
     for it in range(start_iter, max_iter):
         # neighbor label weights: vote(v, label) = Σ weight of edges to
         # neighbors currently holding `label`
-        # shuffle_hash: hash the label vector, stream the edges
+        # shuffle_hash: hash the label vector, stream the edges; then ONE
+        # shuffle by vertex serves both aggregations below — hash(v)
+        # partitioning satisfies the (v,label) sum AND the per-v argmax
+        # (subset rule), so the vote table crosses the wire once per round
         votes = (
             sym.join(
                 labels.select(F.col("id").alias("nbr"), "label").hint(
@@ -120,13 +123,13 @@ def _lpa_loop(
                 ),
                 "nbr",
             )
-            .select("v", "label", "weight")
-            .groupBy(F.col("v").alias("id"), "label")
+            .select(F.col("v").alias("id"), "label", "weight")
+            .repartition(*( [num_partitions, "id"] if num_partitions else ["id"] ))
+            .groupBy("id", "label")
             .agg(F.sum("weight").alias("w"))
         )
         # argmax(w) with min-label tie-break as a single hash aggregate
-        # (map-side partial; no sort-window — hub vertices don't force a
-        # per-partition sort)
+        # (exchange-free after the repartition above)
         best = votes.groupBy("id").agg(
             F.max(F.struct(F.col("w"), (-F.col("label")).alias("neg_label"))).alias(
                 "m"
