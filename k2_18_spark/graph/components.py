@@ -114,7 +114,7 @@ def _components_loop(
         )
         new_labels = (
             labels.withColumnRenamed("label", "old_label")
-            .join(neighbor_min, "id", "left")
+            .join(neighbor_min.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 F.least(

@@ -139,7 +139,7 @@ def _lpa_loop(
         active = F.pmod(F.xxhash64(F.col("id")), F.lit(2)) == F.lit(it % 2)
         new_labels = (
             labels.withColumnRenamed("label", "old_label")
-            .join(best, "id", "left")
+            .join(best.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 F.when(active, F.coalesce("best_label", "old_label"))

@@ -84,7 +84,7 @@ def _superstep(
     base = alpha * dangling_mass / n + (1.0 - alpha) / n
     new_ranks = (
         ranks.select("id", F.col("rank").alias("prev_rank"), "dangling")
-        .join(agg, "id", "left")
+        .join(agg.hint("shuffle_hash"), "id", "left")
         .select(
             "id",
             (F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(base)).alias(
