@@ -91,6 +91,40 @@ def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse multi-component graph: chain doc → doc+20 (same synthetic
+    source) within blocks of 100 doc_ids — many 5-node components with
+    short diameter, exercising component renumbering non-trivially
+    (the co-supplier graph is one giant component)."""
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 20)
+            & (F.pmod(F.col("a.doc_id"), F.lit(100)) < 80),
+        )
+        .select(
+            F.concat(F.lit("D"), F.col("a.doc_id")).alias("src_id"),
+            F.concat(F.lit("D"), F.col("b.doc_id")).alias("dst_id"),
+            F.lit("NEXT").alias("edge_type"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+
+
+_DOC_CHAIN_SQL = """
+SELECT 'D' || a.doc_id AS src_id,
+       'D' || b.doc_id AS dst_id,
+       'NEXT' AS edge_type,
+       CAST(1.0 AS DOUBLE) AS weight
+FROM documents a
+JOIN documents b
+  ON b.doc_id = a.doc_id + 20
+ AND a.doc_id % 100 < 80
+"""
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -203,10 +237,18 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(spark, _graph_edges(spark, sf_dir))
 
 
+def q_graph_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from k2_18_spark.graph.components import connected_components
+
+    return connected_components(spark, _doc_chain_edges(spark, sf_dir))
+
+
 def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     from k2_18_spark.graph.lpa import label_propagation
 
-    return label_propagation(spark, _graph_edges(spark, sf_dir))
+    # vote_round=9: weight sums land on the same 1e-9 grid as the DuckDB
+    # oracle regardless of float summation order (ties break identically)
+    return label_propagation(spark, _graph_edges(spark, sf_dir), vote_round=9)
 
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
         "graph_components": q_graph_components,
+        "graph_components_chain": q_graph_components_chain,
         "graph_lpa": q_graph_lpa,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
@@ -330,6 +373,144 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+# -- iterative graph oracles ------------------------------------------------
+# DuckDB 1.0 recursive-CTE notes (empirically verified):
+# * bare float literals parse as DECIMAL — CAST the seeds to DOUBLE or the
+#   whole iteration truncates;
+# * aggregates/windows ARE allowed in the recursive term;
+# * every reference to the recursive table is keyed by an explicit iter
+#   column so the evaluation is insensitive to working-table semantics.
+
+_PAGERANK_ORACLE = """
+WITH RECURSIVE
+e0 AS MATERIALIZED ({edges_sql}),
+outw AS MATERIALIZED (SELECT src_id, SUM(weight) AS ow FROM e0 GROUP BY 1),
+e AS MATERIALIZED (
+    SELECT e0.src_id, e0.dst_id, e0.weight / outw.ow AS frac
+    FROM e0 JOIN outw ON e0.src_id = outw.src_id
+),
+verts AS MATERIALIZED (
+    SELECT id, MAX(CASE WHEN has_out THEN 1 ELSE 0 END) = 0 AS dangling FROM (
+        SELECT src_id AS id, TRUE AS has_out FROM e0
+        UNION ALL SELECT dst_id, FALSE FROM e0
+    ) GROUP BY id
+),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts),
+-- nx power iteration, engine semantics (k2_18_spark/graph/pagerank.py):
+-- r' = alpha*contrib + (alpha*dmass/n + (1-alpha)/n); stop on L1 err < n*tol
+pr(iter, id, rank, dangling, err) AS (
+    SELECT 0, v.id, CAST(1.0 AS DOUBLE) / nn.n, v.dangling, CAST(1e18 AS DOUBLE)
+    FROM verts v CROSS JOIN nn
+    UNION ALL
+    SELECT s.iter, s.id, s.new_rank, s.dangling,
+           SUM(ABS(s.new_rank - s.prev_rank)) OVER ()
+    FROM (
+        SELECT p.iter + 1 AS iter, p.id, p.dangling, p.rank AS prev_rank,
+               0.85 * COALESCE(c.contrib, CAST(0 AS DOUBLE))
+                 + (0.85 * dm.dmass / nn.n
+                    + (CAST(1.0 AS DOUBLE) - 0.85) / nn.n) AS new_rank
+        FROM pr p
+        LEFT JOIN (
+            SELECT p2.iter, e.dst_id AS id, SUM(p2.rank * e.frac) AS contrib
+            FROM pr p2 JOIN e ON p2.id = e.src_id
+            GROUP BY 1, 2
+        ) c ON p.id = c.id AND p.iter = c.iter
+        JOIN (SELECT iter, COALESCE(SUM(CASE WHEN dangling THEN rank END),
+                                    CAST(0 AS DOUBLE)) AS dmass
+              FROM pr GROUP BY iter) dm ON dm.iter = p.iter
+        CROSS JOIN nn
+        WHERE p.err >= nn.n * CAST(1e-6 AS DOUBLE) AND p.iter < 100
+    ) s
+)
+SELECT id, ROUND(rank, 6) AS pagerank
+FROM pr WHERE iter = (SELECT MAX(iter) FROM pr)
+"""
+
+_COMPONENTS_ORACLE = """
+WITH RECURSIVE
+e0 AS MATERIALIZED ({edges_sql}),
+verts AS MATERIALIZED (
+    SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS ord FROM (
+        SELECT src_id AS id FROM e0 UNION SELECT dst_id FROM e0
+    )
+),
+und AS MATERIALIZED (
+    SELECT DISTINCT src_id AS a, dst_id AS b FROM e0 WHERE src_id <> dst_id
+    UNION
+    SELECT DISTINCT dst_id, src_id FROM e0 WHERE src_id <> dst_id
+),
+-- min-label fixpoint via transitive closure (UNION dedups → terminates);
+-- label = min member ord, so DENSE_RANK over labels IS the engine's
+-- deterministic renumbering (k2_18_spark/graph/components.py:_renumber)
+reach(id, lbl) AS (
+    SELECT v.id, v.ord FROM verts v
+    UNION
+    SELECT u.b, r.lbl FROM reach r JOIN und u ON r.id = u.a
+),
+comp AS (SELECT id, MIN(lbl) AS minlbl FROM reach GROUP BY id)
+SELECT id, CAST(DENSE_RANK() OVER (ORDER BY minlbl) - 1 AS INT) AS component_id
+FROM comp
+"""
+
+
+def _lpa_oracle(edges_sql: str, max_iter: int = 20) -> str:
+    """Unrolled semi-synchronous weighted LPA, mirroring
+    k2_18_spark/graph/lpa.py with vote_round=9 exactly: undirected
+    projection (bidirectional weights summed), ord-parity active set
+    per round, argmax with min-label tie-break, renumber by min member
+    ord. After a converged even+odd cycle every further iteration is a
+    no-op, so the state after ``max_iter`` rounds equals the engine's
+    early-stopped state."""
+    ctes = [
+        f"e0 AS MATERIALIZED ({edges_sql})",
+        """verts AS MATERIALIZED (
+    SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS ord FROM (
+        SELECT src_id AS id FROM e0 UNION SELECT dst_id FROM e0
+    )
+)""",
+        """proj AS MATERIALIZED (
+    SELECT LEAST(src_id, dst_id) AS a, GREATEST(src_id, dst_id) AS b,
+           SUM(weight) AS weight
+    FROM e0 WHERE src_id <> dst_id GROUP BY 1, 2
+)""",
+        """sym AS MATERIALIZED (
+    SELECT d.v, d.nbr, d.weight, CAST(verts.ord % 2 AS INT) AS par
+    FROM (
+        SELECT a AS v, b AS nbr, weight FROM proj
+        UNION ALL SELECT b, a, weight FROM proj
+    ) d JOIN verts ON d.v = verts.id
+)""",
+        "l0 AS (SELECT id, ord, ord AS label FROM verts)",
+    ]
+    # AS MATERIALIZED on every iteration: each l_k references l_{k-1}
+    # twice, and DuckDB inlines plain CTEs → exponential plan without it
+    for k in range(1, max_iter + 1):
+        parity = (k - 1) % 2
+        ctes.append(f"""l{k} AS MATERIALIZED (
+    SELECT l.id, l.ord, COALESCE(b.best_label, l.label) AS label
+    FROM l{k - 1} l
+    LEFT JOIN (
+        SELECT v, label AS best_label FROM (
+            SELECT s.v, nl.label, ROUND(SUM(s.weight), 9) AS w
+            FROM sym s JOIN l{k - 1} nl ON s.nbr = nl.id
+            WHERE s.par = {parity}
+            GROUP BY 1, 2
+        ) QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY v ORDER BY w DESC, label ASC) = 1
+    ) b ON l.id = b.v
+)""")
+    ctes.append(
+        f"mins AS (SELECT label, MIN(ord) AS mo FROM l{max_iter} GROUP BY 1)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT l.id, CAST(DENSE_RANK() OVER (ORDER BY m.mo) - 1 AS INT) AS cluster_id
+FROM l{max_iter} l JOIN mins m ON l.label = m.label
+"""
+    )
 
 _TOKENS = r"string_split_regex(trim(lower(text)), '\s+')"
 _SHINGLES = (
@@ -401,6 +582,12 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 3
         """,
         "co_supplier_edges": _CO_SUPPLIER_SQL,
+        "graph_pagerank": _PAGERANK_ORACLE.format(edges_sql=_CO_SUPPLIER_SQL),
+        "graph_components": _COMPONENTS_ORACLE.format(edges_sql=_CO_SUPPLIER_SQL),
+        "graph_components_chain": _COMPONENTS_ORACLE.format(
+            edges_sql=_DOC_CHAIN_SQL
+        ),
+        "graph_lpa": _lpa_oracle(_CO_SUPPLIER_SQL),
         "graph_degrees": f"""
             WITH e AS ({_CO_SUPPLIER_SQL}),
             verts AS (
@@ -412,9 +599,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT v.id,
                    CAST(COALESCE(ind.degree_in, 0) AS INT) AS degree_in,
                    CAST(COALESCE(outd.degree_out, 0) AS INT) AS degree_out,
-                   (COALESCE(ind.degree_in, 0) + COALESCE(outd.degree_out, 0))
-                       / CAST(CASE WHEN n.n > 1 THEN n.n - 1 ELSE 1 END AS DOUBLE)
-                       AS degree_centrality
+                   CASE WHEN n.n <= 1 THEN 1.0
+                        ELSE (COALESCE(ind.degree_in, 0) + COALESCE(outd.degree_out, 0))
+                             / CAST(n.n - 1 AS DOUBLE)
+                   END AS degree_centrality
             FROM verts v
             LEFT JOIN ind ON v.id = ind.id
             LEFT JOIN outd ON v.id = outd.id

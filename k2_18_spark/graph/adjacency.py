@@ -37,16 +37,26 @@ def metrics_view(edges: DataFrame) -> DataFrame:
 
     Output columns: src_id, dst_id, edge_type, weight (missing → 1.0).
     """
-    if "edge_order" in edges.columns:
-        w = F.row_number().over(
-            Window.partitionBy("src_id", "dst_id").orderBy(F.col("edge_order").desc())
-        )
-        collapsed = (
-            edges.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn", "edge_order")
-        )
-    else:
-        collapsed = edges.dropDuplicates(["src_id", "dst_id"])
+    collapsed = _collapse_multi(edges)
     return collapsed.withColumn("weight", F.coalesce(F.col("weight"), F.lit(1.0)))
+
+
+def _collapse_multi(edges: DataFrame) -> DataFrame:
+    """One row per (src,dst): last by ``edge_order`` when present, else a
+    DETERMINISTIC tie-break over the remaining columns (desc weight, then
+    desc on everything else) — ``dropDuplicates`` would keep an arbitrary
+    row, making PageRank on a multigraph vary across runs/partitionings."""
+    if "edge_order" in edges.columns:
+        order = [F.col("edge_order").desc()]
+        drop = ["_rn", "edge_order"]
+    else:
+        rest = [c for c in edges.columns if c not in ("src_id", "dst_id")]
+        order = [F.col(c).desc_nulls_last() for c in rest]
+        drop = ["_rn"]
+        if not order:  # bare (src,dst) pairs — already collapse-invariant
+            return edges.dropDuplicates(["src_id", "dst_id"])
+    w = F.row_number().over(Window.partitionBy("src_id", "dst_id").orderBy(*order))
+    return edges.withColumn("_rn", w).filter(F.col("_rn") == 1).drop(*drop)
 
 
 def vertex_ids(edges: DataFrame, nodes: DataFrame | None) -> DataFrame:
@@ -115,16 +125,9 @@ def _build_adjacency(
         raw = raw.repartition(num_partitions, "src_id")
     else:
         raw = raw.repartition("src_id")
-    if "edge_order" in raw.columns:
-        w = Window.partitionBy("src_id", "dst_id").orderBy(F.col("edge_order").desc())
-        collapsed = (
-            raw.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "edge_order")
-        )
-    else:
-        collapsed = raw.dropDuplicates(["src_id", "dst_id"])
-    collapsed = collapsed.withColumn("weight", F.coalesce(F.col("weight"), F.lit(1.0)))
+    collapsed = _collapse_multi(raw).withColumn(
+        "weight", F.coalesce(F.col("weight"), F.lit(1.0))
+    )
     # build-scoped cache: every action below (edge materialization, vertex
     # join, hub stats, hub split) reuses the collapse instead of replaying
     # the 15M-row dedup lineage per action

@@ -9,18 +9,25 @@ apply the same deterministic renumbering (clusters sorted by min
 member key). Divergence vs Louvain goldens is documented in SURVEY §7.
 
 Determinism: semi-synchronous updates — each superstep only vertices
-whose id-hash parity matches the round parity adopt the label with the
-max total incident weight (ties → smaller label); the other half wait.
-This 2-coloring breaks the label-swap oscillation pure synchronous LPA
-exhibits on bipartite-ish structures while staying fully deterministic
-(hash parity is data-derived, not random). Convergence = a full
-even+odd cycle with zero changes, or the iteration cap; deterministic
-renumbering makes the output stable either way.
+whose node-order parity (``ord % 2``) matches the round parity adopt
+the label with the max total incident weight (ties → smaller label);
+the other half wait. This 2-coloring breaks the label-swap oscillation
+pure synchronous LPA exhibits on bipartite-ish structures while
+staying fully deterministic (order parity is data-derived, not random,
+and — unlike a hash — expressible in ANSI SQL, so the driver's DuckDB
+oracle can replay the exact trajectory). Convergence = a full even+odd
+cycle with zero changes, or the iteration cap; once a full cycle
+changes nothing, every later iteration is a fixpoint, so the state at
+the cap equals the converged state. Deterministic renumbering makes
+the output stable either way.
 
-Scale: the projected edge list is built and persisted once; each
-superstep shuffles only the label vector. groupBy(vertex,label) has
-map-side partial aggregation (hub-safe); per-vertex argmax is a window
-over (vertex) — partitioned by vertex id, no global sort. Supersteps
+Scale: the projected edge list is built and persisted once WITH the
+receiving vertex's parity precomputed; each superstep filters the edge
+table to the active parity class BEFORE the vote join, so only half
+the |E|-sized vote traffic crosses the wire per round (the inactive
+half's votes were previously computed and discarded). groupBy(vertex,
+label) has map-side partial aggregation (hub-safe); per-vertex argmax
+is a max(struct) hash aggregate — no global sort. Supersteps
 checkpoint labels + lineage like every other loop.
 """
 
@@ -58,18 +65,27 @@ def label_propagation(
     checkpoint_dir: str | None = None,
     job_name: str = "lpa",
     num_partitions: int | None = None,
+    vote_round: int | None = None,
 ) -> DataFrame:
-    """→ (id, cluster_id) — sequential ids by min member order (T6)."""
+    """→ (id, cluster_id) — sequential ids by min member order (T6).
+
+    ``vote_round``: optionally round the per-(vertex,label) weight sums
+    to this many decimals before the argmax — makes tie-breaking
+    agree bit-for-bit with an external SQL oracle summing the same
+    weights in a different order (use ≥ 9 so only float noise rounds
+    away)."""
     from k2_18_spark.session import superstep_conf
 
     with superstep_conf(spark):
         return _lpa_loop(
-            spark, edges, nodes, max_iter, checkpoint_dir, job_name, num_partitions
+            spark, edges, nodes, max_iter, checkpoint_dir, job_name,
+            num_partitions, vote_round,
         )
 
 
 def _lpa_loop(
-    spark, edges, nodes, max_iter, checkpoint_dir, job_name, num_partitions
+    spark, edges, nodes, max_iter, checkpoint_dir, job_name, num_partitions,
+    vote_round,
 ) -> DataFrame:
     if nodes is not None and "node_order" in nodes.columns:
         verts = nodes.select("id", F.col("node_order").alias("ord"))
@@ -83,10 +99,19 @@ def _lpa_loop(
         return spark.createDataFrame([], "id string, cluster_id int")
 
     proj = undirected_projection(edges)
-    # both directions for message passing: (v, nbr, weight)
+    # both directions for message passing: (v, nbr, weight, par) — the
+    # receiving vertex's order parity is precomputed so each superstep
+    # can filter to the active class BEFORE the vote join (halves the
+    # per-round shuffle; the old plan computed votes for all vertices
+    # and discarded half)
+    par = verts.select(
+        F.col("id").alias("v"),
+        F.pmod(F.col("ord"), F.lit(2)).cast("int").alias("par"),
+    )
     sym = (
         proj.select(F.col("a").alias("v"), F.col("b").alias("nbr"), "weight")
         .union(proj.select(F.col("b").alias("v"), F.col("a").alias("nbr"), "weight"))
+        .join(par.hint("shuffle_hash"), "v")
         .repartition(*( [num_partitions, "nbr"] if num_partitions else ["nbr"] ))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -111,13 +136,19 @@ def _lpa_loop(
     prev_changed = None
     for it in range(start_iter, max_iter):
         # neighbor label weights: vote(v, label) = Σ weight of edges to
-        # neighbors currently holding `label`
+        # neighbors currently holding `label`, computed ONLY for this
+        # round's active parity class (the filter hits the persisted
+        # edge table before anything shuffles).
         # shuffle_hash: hash the label vector, stream the edges; then ONE
         # shuffle by vertex serves both aggregations below — hash(v)
         # partitioning satisfies the (v,label) sum AND the per-v argmax
         # (subset rule), so the vote table crosses the wire once per round
+        w_sum = F.sum("weight")
+        if vote_round is not None:
+            w_sum = F.round(w_sum, vote_round)
         votes = (
-            sym.join(
+            sym.filter(F.col("par") == F.lit(it % 2))
+            .join(
                 labels.select(F.col("id").alias("nbr"), "label").hint(
                     "shuffle_hash"
                 ),
@@ -126,7 +157,7 @@ def _lpa_loop(
             .select(F.col("v").alias("id"), "label", "weight")
             .repartition(*( [num_partitions, "id"] if num_partitions else ["id"] ))
             .groupBy("id", "label")
-            .agg(F.sum("weight").alias("w"))
+            .agg(w_sum.alias("w"))
         )
         # argmax(w) with min-label tie-break as a single hash aggregate
         # (exchange-free after the repartition above)
@@ -135,16 +166,15 @@ def _lpa_loop(
                 "m"
             )
         ).select("id", (-F.col("m.neg_label")).alias("best_label"))
-        # semi-synchronous: only this round's parity class updates
-        active = F.pmod(F.xxhash64(F.col("id")), F.lit(2)) == F.lit(it % 2)
+        # semi-synchronous: `best` only contains active-parity vertices
+        # (the sym filter above), so coalesce IS the parity gate —
+        # inactive vertices and isolated active ones keep their label
         new_labels = (
             labels.withColumnRenamed("label", "old_label")
             .join(best.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
-                F.when(active, F.coalesce("best_label", "old_label"))
-                .otherwise(F.col("old_label"))
-                .alias("label"),
+                F.coalesce("best_label", "old_label").alias("label"),
                 "old_label",
             )
         )

@@ -222,10 +222,14 @@ def educational_importance(
     """PageRank on the educational-edge subgraph, all vertices retained
     (reference viz/graph2metrics.py:620-665). Non-convergence falls back
     to tol=1e-3 like the reference (:657-659)."""
+    from k2_18_spark.graph.adjacency import metrics_view
     from k2_18_spark.schemas import EDUCATIONAL_EDGE_TYPES
 
     types = [t.upper() for t in (edu_types or EDUCATIONAL_EDGE_TYPES)]
-    edu_edges = edges.filter(F.upper(F.col("edge_type")).isin(types))
+    # collapse parallel typed edges first, THEN filter survivors by type
+    # (reference builds the nx.DiGraph before taking the edu subgraph —
+    # viz/graph2metrics.py:163-170, :636-641)
+    edu_edges = metrics_view(edges).filter(F.upper(F.col("edge_type")).isin(types))
     if nodes is None:
         # All original vertices keep teleport mass even if isolated.
         from k2_18_spark.graph.adjacency import vertex_ids

@@ -130,14 +130,22 @@ def strongly_connected_components(
         scc = verts.select("id", F.col("id").alias("scc_id"))
         return scc
 
+    # guard BEFORE the collect — a huge cyclic core must raise, not OOM
+    # the driver while materializing the rows it was meant to reject
+    n_core = (
+        remaining_e.select(F.col("src_id").alias("id"))
+        .union(remaining_e.select(F.col("dst_id").alias("id")))
+        .distinct()
+        .count()
+    )
+    if n_core > max_core_vertices:
+        raise RuntimeError(
+            f"cyclic core too large for driver Tarjan ({n_core} vertices)"
+        )
     core_edges = remaining_e.collect()
     core_vertices = {r["src_id"] for r in core_edges} | {
         r["dst_id"] for r in core_edges
     }
-    if len(core_vertices) > max_core_vertices:
-        raise RuntimeError(
-            f"cyclic core too large for driver Tarjan ({len(core_vertices)} vertices)"
-        )
     adj: dict = {}
     for r in core_edges:
         adj.setdefault(r["src_id"], []).append(r["dst_id"])
@@ -160,7 +168,14 @@ def prerequisite_metrics(
     max_iter: int = 10_000,
 ) -> DataFrame:
     """→ (id, prerequisite_depth, learning_effort)."""
-    prereq = edges.filter(F.upper(F.col("edge_type")) == "PREREQUISITE")
+    # collapse parallel typed edges FIRST, then filter the survivors by
+    # type — the reference builds the nx.DiGraph (last-writer-wins per
+    # (src,dst), viz/graph2metrics.py:163-170) before taking the
+    # PREREQUISITE subgraph, so a PREREQUISITE edge shadowed by a later
+    # edge of another type must NOT appear here
+    prereq = metrics_view(edges).filter(
+        F.upper(F.col("edge_type")) == "PREREQUISITE"
+    )
     diff_col = (
         F.coalesce(F.col("difficulty"), F.lit(default_difficulty))
         if "difficulty" in nodes.columns

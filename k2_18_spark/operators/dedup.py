@@ -10,9 +10,40 @@ reuses the connected-components superstep as distributed union-find
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+log = logging.getLogger(__name__)
+
+
+def _cap_buckets(
+    keyed: DataFrame, key_cols: list[str], max_bucket_size: int | None, what: str
+) -> DataFrame:
+    """Drop candidate buckets larger than ``max_bucket_size``.
+
+    A degenerate bucket (boilerplate/identical docs) makes the bucket
+    self-join quadratic; capping bounds the worst case. NOT silent: the
+    dropped bucket count and row count are computed eagerly and logged
+    (no-silent-caps rule). ``None`` disables the cap."""
+    if max_bucket_size is None:
+        return keyed
+    sizes = keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bsz"))
+    dropped = sizes.filter(F.col("_bsz") > max_bucket_size)
+    stats = dropped.agg(
+        F.count(F.lit(1)).alias("buckets"), F.sum("_bsz").alias("rows")
+    ).collect()[0]
+    if stats["buckets"]:
+        log.warning(
+            "%s: dropped %d oversized buckets (> %d members, %d rows) from "
+            "candidate generation — pairs inside them are NOT reported",
+            what, stats["buckets"], max_bucket_size, stats["rows"],
+        )
+    return keyed.join(
+        F.broadcast(dropped.select(*key_cols)), key_cols, "left_anti"
+    )
 
 # -- exact ---------------------------------------------------------------
 
@@ -96,15 +127,11 @@ def minhash_signature(
     """k-permutation MinHash over word-n-gram shingles.
     → (doc_id, sig array<long>). Deterministic seeded affine hashes of
     xxhash64(shingle) modulo a Mersenne prime."""
-    sh = docs.select("doc_id", _shingles(text_col, n).alias("sh")).filter(
-        F.size("sh") > 0
-    )
-    hashed = sh.select(
-        "doc_id",
-        F.transform(
-            "sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
-        ).alias("hv"),
-    )
+    # explode → groupBy(min × k): ONE pass over the shingle rows with
+    # map-side partial aggregation, instead of k array traversals per doc
+    # (the old transform/array_min expression tree was the bench hotspot)
+    sh = docs.select("doc_id", F.explode(_shingles(text_col, n)).alias("s"))
+    h = F.pmod(F.xxhash64("s"), F.lit(_MERSENNE))
     # seeded affine permutations; coefficients from a fixed LCG
     rng_a, rng_b = [], []
     state = 42
@@ -113,16 +140,13 @@ def minhash_signature(
         rng_a.append(state % (_MERSENNE - 1) + 1)
         state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
         rng_b.append(state % _MERSENNE)
-    def perm(a: int, b: int):
-        return lambda h: (h * a + b) % _MERSENNE
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform("hv", perm(a, b)))
-            for a, b in zip(rng_a, rng_b)
-        ]
-    )
-    return hashed.select("doc_id", sig.alias("sig"))
+    mins = [
+        F.min((h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"_m{i}")
+        for i, (a, b) in enumerate(zip(rng_a, rng_b))
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    sig = F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
+    return agg.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -132,6 +156,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.5,
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact Jaccard verification.
 
@@ -164,6 +189,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size, "minhash_lsh")
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])
@@ -196,38 +222,52 @@ def minhash_lsh_pairs(
 
 def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text") -> DataFrame:
     """64-bit SimHash over word tokens: sign-sum of per-token hash bits.
-    → (doc_id, simhash long)."""
+    → (doc_id, simhash long).
+
+    explode → groupBy with ``bits`` sum aggregates: one pass over the
+    token rows with map-side partial aggregation (the old per-row
+    F.aggregate fold walked every token array ``bits`` times)."""
     toks = F.split(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
     )
-    hv = docs.select("doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("hv"))
-
-    def bit_vote(i: int):
-        # per-bit vote: +1 if bit set else -1, summed over tokens
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_cols = []
-    for i in range(bits):
-        vote = F.aggregate("hv", F.lit(0).cast("long"), bit_vote(i))
-        bit_cols.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(0))
+    # explode_outer keeps null-text docs (they hash to simhash 0, as before)
+    tok = docs.select("doc_id", F.explode_outer(toks).alias("t"))
+    h = F.xxhash64("t")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
     sh = None
-    for i, b in enumerate(bit_cols):
+    for i in range(bits):
+        b = F.when(F.col(f"_v{i}") > 0, F.lit(1).cast("long")).otherwise(0)
         term = F.shiftleft(b, i)
         sh = term if sh is None else sh.bitwiseOR(term)
-    return hv.select("doc_id", sh.alias("simhash"))
+    return agg.select("doc_id", sh.alias("simhash"))
 
 
 def simhash_near_duplicates(
-    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Candidate generation blocks on 4 × 16-bit chunks (any pair within
-    Hamming ≤ 3 of 64 bits shares at least one exact 16-bit chunk —
-    pigeonhole), then verifies with bit_count(xor).
+    Candidate generation blocks on ``max_hamming + 1`` contiguous bit
+    chunks — by pigeonhole, any pair with ≤ max_hamming differing bits
+    out of 64 shares at least one exact chunk — then verifies with
+    bit_count(xor). Chunk count is DERIVED from the threshold so recall
+    is complete for any max_hamming ≤ 31 (each chunk needs ≥ 2 bits).
     → (doc_a, doc_b, hamming)."""
+    n_chunks = max_hamming + 1
+    if n_chunks > 32:
+        raise ValueError("max_hamming must be <= 31 for 64-bit chunk blocking")
+    base, rem = divmod(64, n_chunks)
+    widths = [base + 1] * rem + [base] * (n_chunks - rem)
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     sh = simhash(docs, text_col=text_col)
     chunks = sh.select(
         "doc_id",
@@ -237,15 +277,18 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        # mask after the arithmetic shift — kills the sign
+                        # extension on the top chunk (bit 63 set ⇒ negative)
+                        F.shiftright("simhash", offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
                         .alias("val"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("cc"),
     ).select("doc_id", "simhash", "cc.chunk", "cc.val")
+    chunks = _cap_buckets(chunks, ["chunk", "val"], max_bucket_size, "simhash")
     cand = (
         chunks.alias("x")
         .join(chunks.alias("y"), ["chunk", "val"])

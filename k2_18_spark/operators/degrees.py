@@ -25,7 +25,13 @@ def degrees(edges: DataFrame, nodes: DataFrame | None = None) -> DataFrame:
     in_deg = e.groupBy(F.col("dst_id").alias("id")).agg(
         F.count(F.lit(1)).alias("degree_in")
     )
-    denom = float(n - 1) if n > 1 else 1.0
+    # nx.degree_centrality special-cases n <= 1: every node gets 1.0
+    # (networkx/algorithms/centrality/degree_alg.py — `if len(G) <= 1`)
+    cent = (
+        F.lit(1.0)
+        if n <= 1
+        else (F.col("degree_in") + F.col("degree_out")) / F.lit(float(n - 1))
+    )
     return (
         verts.join(in_deg, "id", "left")
         .join(out_deg, "id", "left")
@@ -34,8 +40,5 @@ def degrees(edges: DataFrame, nodes: DataFrame | None = None) -> DataFrame:
             F.coalesce("degree_in", F.lit(0)).cast("int").alias("degree_in"),
             F.coalesce("degree_out", F.lit(0)).cast("int").alias("degree_out"),
         )
-        .withColumn(
-            "degree_centrality",
-            (F.col("degree_in") + F.col("degree_out")) / F.lit(denom),
-        )
+        .withColumn("degree_centrality", cent)
     )

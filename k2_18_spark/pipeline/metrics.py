@@ -49,9 +49,21 @@ def compute_all_metrics(
     edges = edges.cache()
 
     deg = degrees(edges, nodes)
-    pr = pagerank(
-        spark, edges, nodes=nodes, checkpoint_dir=checkpoint_dir, job_name="pagerank"
-    ).withColumnRenamed("rank", "pagerank")
+    # the reference retries nx.pagerank with tol=1e-3 on
+    # PowerIterationFailedConvergence (viz/graph2metrics.py:719-725)
+    from k2_18_spark.graph.pagerank import PowerIterationFailedConvergence
+
+    try:
+        pr = pagerank(
+            spark, edges, nodes=nodes, checkpoint_dir=checkpoint_dir,
+            job_name="pagerank",
+        )
+    except PowerIterationFailedConvergence:
+        pr = pagerank(
+            spark, edges, nodes=nodes, checkpoint_dir=checkpoint_dir,
+            job_name="pagerank_retry", tol=1e-3,
+        )
+    pr = pr.withColumnRenamed("rank", "pagerank")
     cent = betweenness_closeness(
         spark, edges, nodes=nodes, sample_k=betweenness_sample_k
     )
