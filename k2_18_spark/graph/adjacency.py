@@ -70,13 +70,56 @@ def vertex_ids(edges: DataFrame, nodes: DataFrame | None) -> DataFrame:
     )
 
 
+def dense_vertex_ids(
+    verts: DataFrame, id_col: str = "id", out_col: str = "ord"
+) -> DataFrame:
+    """→ (id_col, out_col): deterministic dense longs 0..n-1 in
+    ``id_col`` order, WITHOUT a single-task global sort.
+
+    Two-phase numbering: range-partition by id (distributed sort),
+    number within each partition in parallel, then add per-partition
+    offsets computed from one driver aggregate over numPartitions rows.
+    Range boundaries come from sampling but the produced numbering is
+    boundary-invariant (ranges are ordered, windows order within). This
+    is the superstep vertex ENCODING: every iterative algorithm joins
+    and shuffles these longs instead of the (arbitrarily long, e.g.
+    URL) string ids."""
+    parts = (
+        verts.select(id_col)
+        .distinct()
+        .repartitionByRange(F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    running, offsets = 0, {}
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = running
+        running += r["c"]
+    w = Window.partitionBy("_pid").orderBy(id_col)
+    mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    out = parts.select(
+        id_col,
+        (F.row_number().over(w) - 1 + F.coalesce(mapping[F.col("_pid")], F.lit(0)))
+        .cast("long")
+        .alias(out_col),
+    ).localCheckpoint(eager=True)
+    parts.unpersist()
+    return out
+
+
 @dataclass
 class Adjacency:
-    """Prepared, persisted adjacency for superstep loops."""
+    """Prepared, persisted adjacency for superstep loops.
 
-    edges: DataFrame  # src_id, dst_id, weight, frac (weight/out_wsum)
-    vertices: DataFrame  # id, dangling(boolean), out_wsum, out_deg
-    hub_ids: list  # top-k out-degree vertex ids (skew tail)
+    Vertices are dictionary-ENCODED: ``src_id``/``dst_id`` in ``edges``
+    and ``id`` in ``vertices`` are dense longs (``dense_vertex_ids``
+    order), so every per-superstep join/shuffle moves 8-byte keys
+    instead of string ids; ``vertices.orig_id`` decodes back."""
+
+    edges: DataFrame  # src_id(long), dst_id(long), frac (weight/out_wsum)
+    vertices: DataFrame  # id(long), orig_id, dangling, out_wsum, out_deg
+    hub_ids: list  # top-k out-degree encoded ids (skew tail)
     edges_hub: DataFrame | None  # src_id ∈ hub_ids (pre-split, persisted)
     edges_tail: DataFrame | None  # the long tail
     n: int  # |V|
@@ -114,13 +157,28 @@ def _build_adjacency(
     num_partitions: int | None,
     hub_top_k: int,
 ) -> Adjacency:
-    # ONE shuffle builds the whole adjacency: hash(src_id) partitioning
-    # satisfies the clustering requirement of the (src,dst) collapse, the
-    # out-weight aggregate, AND the normalization join (subset rule), so
-    # everything below the repartition is exchange-free.
+    # dictionary-encode vertices FIRST (deterministic dense longs, so a
+    # resumed job re-derives the identical encoding), then one shuffle
+    # builds the rest: hash(src_id) partitioning satisfies the clustering
+    # requirement of the (src,dst) collapse, the out-weight aggregate,
+    # AND the normalization join (subset rule), so everything below the
+    # repartition is exchange-free.
+    vmap = dense_vertex_ids(vertex_ids(edges, nodes))  # (id, ord)
     raw = edges.select("src_id", "dst_id", "weight", *(
         ["edge_order"] if "edge_order" in edges.columns else []
     ))
+    enc_src = vmap.select(F.col("id").alias("src_id"), F.col("ord").alias("_vs"))
+    enc_dst = vmap.select(F.col("id").alias("dst_id"), F.col("ord").alias("_vd"))
+    raw = (
+        raw.join(enc_src.hint("shuffle_hash"), "src_id")
+        .join(enc_dst.hint("shuffle_hash"), "dst_id")
+        .select(
+            F.col("_vs").alias("src_id"),
+            F.col("_vd").alias("dst_id"),
+            "weight",
+            *(["edge_order"] if "edge_order" in edges.columns else []),
+        )
+    )
     if num_partitions:
         raw = raw.repartition(num_partitions, "src_id")
     else:
@@ -147,10 +205,11 @@ def _build_adjacency(
     e.count()  # materialize now — supersteps must not pay the build
 
     verts = (
-        vertex_ids(edges, nodes)
+        vmap.select(F.col("ord").alias("id"), F.col("id").alias("orig_id"))
         .join(out_w.withColumnRenamed("src_id", "id"), "id", "left")
         .select(
             "id",
+            "orig_id",
             F.col("out_wsum").isNull().alias("dangling"),
             F.coalesce(F.col("out_wsum"), F.lit(0.0)).alias("out_wsum"),
             F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"),

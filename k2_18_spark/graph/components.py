@@ -60,24 +60,40 @@ def connected_components(
 def _components_loop(
     spark, edges, nodes, checkpoint_dir, job_name, max_iter, num_partitions
 ) -> DataFrame:
+    from k2_18_spark.graph.adjacency import dense_vertex_ids
+
     if nodes is not None and "node_order" in nodes.columns:
         verts = nodes.select("id", F.col("node_order").alias("ord"))
     else:
-        w = F.row_number().over(Window.orderBy("id"))
-        verts = vertex_ids(edges, nodes).withColumn("ord", w - F.lit(1))
+        # deterministic dense order ids WITHOUT a single-task global sort
+        verts = dense_vertex_ids(vertex_ids(edges, nodes))
     verts = verts.persist(StorageLevel.MEMORY_AND_DISK)
     n = verts.count()
     if n == 0:
         return spark.createDataFrame([], "id string, component_id int")
 
-    # Symmetrized edge list keyed by vertex (U3) — built & persisted once.
-    # partitioned by b — the per-superstep join key — so only the label
-    # vector shuffles each round, never the edge table
-    sym = (
-        edges.select(F.col("src_id").alias("a"), F.col("dst_id").alias("b"))
-        .union(edges.select(F.col("dst_id").alias("a"), F.col("src_id").alias("b")))
+    # Symmetrized edge list keyed by vertex (U3) — built & persisted once,
+    # with endpoints dictionary-ENCODED to the (long) order ids so every
+    # superstep shuffles 8-byte keys, never the string ids. Dedup happens
+    # on CANONICAL |E| pairs before mirroring (half the distinct input of
+    # the naive symmetrize-then-distinct). Partitioned by b — the
+    # per-superstep join key — so only the label vector shuffles each
+    # round, never the edge table.
+    enc_a = verts.select(F.col("id").alias("a"), F.col("ord").alias("_va"))
+    enc_b = verts.select(F.col("id").alias("b"), F.col("ord").alias("_vb"))
+    pairs = (
+        edges.select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .join(enc_a.hint("shuffle_hash"), "a")
+        .join(enc_b.hint("shuffle_hash"), "b")
+        .select(F.col("_va").alias("a"), F.col("_vb").alias("b"))
+    )
+    sym = (
+        pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .repartition(*( [num_partitions, "b"] if num_partitions else ["b"] ))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -90,15 +106,17 @@ def _components_loop(
     if store is not None:
         last = store.latest_iteration()
         if last is not None:
+            # state is stored ENCODED (id = order long); the encoding is
+            # deterministic, so a fresh run resumes against the same ids
             state = store.load_state(last)
             labels = state.select("id", "label")
             if store.load_marker(last).get("converged"):
-                return _renumber(labels)
+                return _renumber(labels, verts)
             start_iter = last + 1
     if labels is None:
-        labels = verts.select("id", F.col("ord").alias("label")).localCheckpoint(
-            eager=True
-        )
+        labels = verts.select(
+            F.col("ord").alias("id"), F.col("ord").alias("label")
+        ).localCheckpoint(eager=True)
 
     for it in range(start_iter, max_iter):
         # shuffle_hash: hash the |V|-sized label vector, stream the
@@ -141,14 +159,15 @@ def _components_loop(
     else:
         raise RuntimeError(f"components did not converge in {max_iter} supersteps")
 
-    out = _renumber(labels)
+    out = _renumber(labels, verts)
     verts.unpersist()
     sym.unpersist()
     return out
 
 
-def _renumber(labels: DataFrame) -> DataFrame:
-    """Sequential component IDs by ascending min-order label (T6).
+def _renumber(labels: DataFrame, verts: DataFrame) -> DataFrame:
+    """Sequential component IDs by ascending min-order label (T6), and
+    decode the encoded vertex keys back to the original string ids.
 
     The label already equals the min original position of the
     component, so ranking the DISTINCT labels reproduces the reference
@@ -162,4 +181,9 @@ def _renumber(labels: DataFrame) -> DataFrame:
         .cast("int")
         .alias("component_id"),
     )
-    return labels.join(F.broadcast(ranked), "label").select("id", "component_id")
+    dec = verts.select(F.col("ord").alias("id"), F.col("id").alias("orig_id"))
+    return (
+        labels.join(F.broadcast(ranked), "label")
+        .join(dec, "id")
+        .select(F.col("orig_id").alias("id"), "component_id")
+    )

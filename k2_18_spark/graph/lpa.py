@@ -87,31 +87,39 @@ def _lpa_loop(
     spark, edges, nodes, max_iter, checkpoint_dir, job_name, num_partitions,
     vote_round,
 ) -> DataFrame:
+    from k2_18_spark.graph.adjacency import dense_vertex_ids
+
     if nodes is not None and "node_order" in nodes.columns:
         verts = nodes.select("id", F.col("node_order").alias("ord"))
     else:
-        verts = vertex_ids(edges, nodes).withColumn(
-            "ord", F.row_number().over(Window.orderBy("id")) - F.lit(1)
-        )
+        # deterministic dense order ids WITHOUT a single-task global sort
+        verts = dense_vertex_ids(vertex_ids(edges, nodes))
     verts = verts.persist(StorageLevel.MEMORY_AND_DISK)
     n = verts.count()
     if n == 0:
         return spark.createDataFrame([], "id string, cluster_id int")
 
     proj = undirected_projection(edges)
-    # both directions for message passing: (v, nbr, weight, par) — the
-    # receiving vertex's order parity is precomputed so each superstep
-    # can filter to the active class BEFORE the vote join (halves the
+    # both directions for message passing: (v, nbr, weight, par), with
+    # endpoints dictionary-ENCODED to the (long) order ids — supersteps
+    # shuffle 8-byte keys, never strings. The receiving vertex's order
+    # parity is just v % 2 after encoding, so each superstep filters the
+    # edge table to the active class BEFORE the vote join (halves the
     # per-round shuffle; the old plan computed votes for all vertices
-    # and discarded half)
-    par = verts.select(
-        F.col("id").alias("v"),
-        F.pmod(F.col("ord"), F.lit(2)).cast("int").alias("par"),
+    # and discarded half).
+    enc_a = verts.select(F.col("id").alias("a"), F.col("ord").alias("_va"))
+    enc_b = verts.select(F.col("id").alias("b"), F.col("ord").alias("_vb"))
+    proj_enc = (
+        proj.join(enc_a.hint("shuffle_hash"), "a")
+        .join(enc_b.hint("shuffle_hash"), "b")
+        .select(F.col("_va").alias("a"), F.col("_vb").alias("b"), "weight")
     )
     sym = (
-        proj.select(F.col("a").alias("v"), F.col("b").alias("nbr"), "weight")
-        .union(proj.select(F.col("b").alias("v"), F.col("a").alias("nbr"), "weight"))
-        .join(par.hint("shuffle_hash"), "v")
+        proj_enc.select(F.col("a").alias("v"), F.col("b").alias("nbr"), "weight")
+        .union(
+            proj_enc.select(F.col("b").alias("v"), F.col("a").alias("nbr"), "weight")
+        )
+        .withColumn("par", F.pmod(F.col("v"), F.lit(2)).cast("int"))
         .repartition(*( [num_partitions, "nbr"] if num_partitions else ["nbr"] ))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -129,9 +137,9 @@ def _lpa_loop(
                 return _renumber(labels, verts)
             start_iter = last + 1
     if labels is None:
-        labels = verts.select("id", F.col("ord").alias("label")).localCheckpoint(
-            eager=True
-        )
+        labels = verts.select(
+            F.col("ord").alias("id"), F.col("ord").alias("label")
+        ).localCheckpoint(eager=True)
 
     prev_changed = None
     for it in range(start_iter, max_iter):
@@ -205,13 +213,21 @@ def _lpa_loop(
 def _renumber(labels: DataFrame, verts: DataFrame) -> DataFrame:
     """Sequential cluster ids ordered by min member ``ord`` (T6 —
     reference renumbers Louvain clusters by min node id,
-    viz/graph2metrics.py:498-505; we use the order key for stability)."""
-    keyed = labels.join(verts, "id")
-    min_ord = keyed.groupBy("label").agg(F.min("ord").alias("min_ord"))
+    viz/graph2metrics.py:498-505; we use the order key for stability),
+    decoding the encoded (order-long) vertex keys back to string ids.
+
+    Labels ARE member order ids under the encoding, so min(label) per
+    cluster is the min member ord — no extra member join needed."""
+    min_ord = labels.groupBy("label").agg(F.min("id").alias("min_ord"))
     ranked = min_ord.select(
         "label",
         (F.dense_rank().over(Window.orderBy("min_ord")) - 1)
         .cast("int")
         .alias("cluster_id"),
     )
-    return keyed.join(ranked, "label").select("id", "cluster_id")
+    dec = verts.select(F.col("ord").alias("id"), F.col("id").alias("orig_id"))
+    return (
+        labels.join(F.broadcast(ranked), "label")
+        .join(dec, "id")
+        .select(F.col("orig_id").alias("id"), "cluster_id")
+    )

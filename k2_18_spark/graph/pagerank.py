@@ -59,7 +59,7 @@ def _superstep(
     same aggregate pass as the previous iteration's L1 delta — one
     driver job per superstep, not two).
     """
-    edges = adj.edges  # src_id, dst_id, frac
+    edges = adj.edges  # src_id(long), dst_id(long), frac — encoded
     # shuffle_hash: build the hash table on the vertex-sized rank side,
     # STREAM the persisted edge table — no per-superstep sort of |E| rows
     # (sort-merge would re-sort the edges every iteration)
@@ -138,9 +138,17 @@ def _pagerank_loop(
     if n == 0:
         return spark.createDataFrame([], "id string, rank double")
 
+    def decode(df: DataFrame) -> DataFrame:
+        """Encoded (id(long), rank) → original string ids."""
+        return df.join(adj.vertices.select("id", "orig_id"), "id").select(
+            F.col("orig_id").alias("id"), "rank"
+        )
+
     # Empty edge set → uniform (reference viz/graph2metrics.py:726-729).
     if adj.edges.isEmpty():
-        out = adj.vertices.select("id", F.lit(1.0 / n).alias("rank"))
+        out = adj.vertices.select(
+            F.col("orig_id").alias("id"), F.lit(1.0 / n).alias("rank")
+        )
         if own_adj:
             out = out.localCheckpoint(eager=True)
             adj.unpersist()
@@ -155,10 +163,12 @@ def _pagerank_loop(
     if store is not None:
         last = store.latest_iteration()
         if last is not None:
+            # state is stored ENCODED; dense_vertex_ids is deterministic,
+            # so a fresh run re-derives the same encoding before resuming
             ranks = store.load_state(last)
             marker = store.load_marker(last)
             if marker.get("converged"):
-                return ranks.select("id", "rank")
+                return decode(ranks.select("id", "rank"))
             start_iter = last + 1
 
     if ranks is None:
@@ -205,7 +215,7 @@ def _pagerank_loop(
             f"pagerank failed to converge in {max_iter} iterations"
         )
 
-    out = ranks.select("id", "rank")
+    out = decode(ranks.select("id", "rank"))
     if own_adj:
         out = out.localCheckpoint(eager=True)
         adj.unpersist()
