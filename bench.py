@@ -62,11 +62,32 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    shuffle_mb: dict[str, float] = {}
+
+    def shuffle_written() -> int:
+        """Total shuffle bytes written so far (AppStatusStore; the
+        same counters the Spark UI stage table shows)."""
+        sc = spark.sparkContext
+        try:
+            store = sc._jsc.sc().statusStore()
+            jvm, gw = sc._jvm, sc._gateway
+            stages = store.stageList(
+                jvm.java.util.ArrayList(), False, False,
+                gw.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+            )
+            total, it = 0, stages.iterator()
+            while it.hasNext():
+                total += it.next().shuffleWriteBytes()
+            return total
+        except Exception:
+            return 0
 
     def timed(name: str, fn):
+        s0 = shuffle_written()
         t0 = time.monotonic()
         out = fn()
         timings[name] = round(time.monotonic() - t0, 3)
+        shuffle_mb[name] = round((shuffle_written() - s0) / 1e6, 1)
         return out
 
     # -- build + persist the graph once (generation excluded from algo times)
@@ -141,6 +162,12 @@ def main() -> None:
         extras["pagerank_iterations"] = pr_iterations
         extras["pagerank_edges_per_sec"] = round(eps, 1)
         extras["pagerank_edges_per_sec_per_core"] = round(eps / cpus, 1)
+        # per-superstep shuffle traffic — the scaling-story evidence:
+        # the rank vector (|V| longs+doubles), not the edge table,
+        # crosses the wire each round
+        extras["pagerank_shuffle_mb_per_superstep"] = round(
+            shuffle_mb.get("pagerank", 0.0) / pr_iterations, 2
+        )
 
     result = {
         "metric": "bench_total_sec",
@@ -152,6 +179,7 @@ def main() -> None:
         "graph_vertices": num_v,
         "graph_edges": edge_count,
         "checkpointing": bool(ckpt_dir),
+        "shuffle_mb": shuffle_mb,
         **extras,
     }
     print(json.dumps(result))

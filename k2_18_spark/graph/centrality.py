@@ -37,7 +37,9 @@ from pyspark.sql import functions as F
 from k2_18_spark.graph.adjacency import metrics_view, vertex_ids
 
 
-def _collect_csr(edges: DataFrame, nodes: DataFrame | None):
+def _collect_csr(
+    edges: DataFrame, nodes: DataFrame | None, max_collect_edges: int
+):
     """Driver-side numpy CSR over the metrics view with inverse weights.
 
     Arrow toPandas keeps the serial driver transfer fast, and numpy
@@ -47,10 +49,21 @@ def _collect_csr(edges: DataFrame, nodes: DataFrame | None):
     Returns (verts, indptr, indices, weights)."""
     import numpy as np
 
+    mv = metrics_view(edges).select("src_id", "dst_id", "weight")
+    # guard BEFORE collecting: the broadcast-CSR design has an explicit
+    # edge ceiling; beyond it, trim the graph (T1) or raise sample_k on
+    # a trimmed subgraph — don't let toPandas OOM the driver
+    m = mv.count()
+    if m > max_collect_edges:
+        raise RuntimeError(
+            f"betweenness/closeness uses a driver-broadcast CSR capped at "
+            f"{max_collect_edges} edges (got {m}); trim the graph first "
+            f"(the reference itself caps at ~5e3 nodes)"
+        )
     verts = sorted(vertex_ids(edges, nodes).toPandas()["id"].tolist())
     index = {v: i for i, v in enumerate(verts)}
     n = len(verts)
-    pdf = metrics_view(edges).select("src_id", "dst_id", "weight").toPandas()
+    pdf = mv.toPandas()
     srcs = pdf["src_id"].map(index).to_numpy(dtype=np.int64)
     dsts = pdf["dst_id"].map(index).to_numpy(dtype=np.int64)
     ws = pdf["weight"].to_numpy(dtype=np.float64)
@@ -66,11 +79,21 @@ def _collect_csr(edges: DataFrame, nodes: DataFrame | None):
 
 def _brandes_source(indptr, indices, weights, s: int, n: int):
     """Dijkstra + Brandes dependency accumulation from source s over a
-    numpy CSR. → (delta array, dist sum, reach count)."""
-    dist = [float("inf")] * n
+    numpy CSR. → (delta array, dist sum, reach count).
+
+    nx parity detail (networkx _dijkstra): an UNREACHED vertex is
+    relaxed even at distance +inf (weight-0 edges get inverse_weight
+    inf but are still traversed), so a node reachable only through an
+    inf edge counts as reached with dist=inf — making the source's
+    closeness 0.0 (totsp=inf), exactly like
+    nx.closeness_centrality(..., distance=...)."""
+    inf = float("inf")
+    dist = [inf] * n
+    reached = [False] * n
     sigma = [0.0] * n
     preds: list[list[int]] = [[] for _ in range(n)]
     dist[s] = 0.0
+    reached[s] = True
     sigma[s] = 1.0
     seen: list[int] = []
     done = [False] * n
@@ -84,12 +107,16 @@ def _brandes_source(indptr, indices, weights, s: int, n: int):
         for j in range(indptr[v], indptr[v + 1]):
             w = int(indices[j])
             nd = d + float(weights[j])
-            if nd < dist[w]:
+            # exact nx branch structure (_single_source_dijkstra_path_basic):
+            # relax only non-finalized vertices; merge equal-distance
+            # sigma WITHOUT a finalized guard (matters only for inf ties)
+            if (not done[w]) and (not reached[w] or nd < dist[w]):
                 dist[w] = nd
+                reached[w] = True
                 sigma[w] = sigma[v]
                 preds[w] = [v]
                 heapq.heappush(heap, (nd, w))
-            elif nd == dist[w] and not done[w]:
+            elif reached[w] and nd == dist[w]:
                 sigma[w] += sigma[v]
                 preds[w].append(v)
     delta = [0.0] * n
@@ -97,8 +124,9 @@ def _brandes_source(indptr, indices, weights, s: int, n: int):
         for v in preds[w]:
             delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
     delta[s] = 0.0
-    finite = [d for d in dist if d < float("inf")]
-    return delta, sum(finite), len(finite)
+    totsp = sum(dist[i] for i in range(n) if reached[i])
+    reach = sum(reached)
+    return delta, totsp, reach
 
 
 def betweenness_closeness(
@@ -107,9 +135,10 @@ def betweenness_closeness(
     nodes: DataFrame | None = None,
     sample_k: int | None = None,
     num_slices: int | None = None,
+    max_collect_edges: int = 10_000_000,
 ) -> DataFrame:
     """→ (id, betweenness_centrality, out_closeness)."""
-    verts, indptr, indices, weights = _collect_csr(edges, nodes)
+    verts, indptr, indices, weights = _collect_csr(edges, nodes, max_collect_edges)
     n = len(verts)
     if n == 0:
         return spark.createDataFrame(

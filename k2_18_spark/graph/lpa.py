@@ -114,16 +114,24 @@ def _lpa_loop(
         .join(enc_b.hint("shuffle_hash"), "b")
         .select(F.col("_va").alias("a"), F.col("_vb").alias("b"), "weight")
     )
-    sym = (
+    sym_all = (
         proj_enc.select(F.col("a").alias("v"), F.col("b").alias("nbr"), "weight")
         .union(
             proj_enc.select(F.col("b").alias("v"), F.col("a").alias("nbr"), "weight")
         )
         .withColumn("par", F.pmod(F.col("v"), F.lit(2)).cast("int"))
         .repartition(*( [num_partitions, "nbr"] if num_partitions else ["nbr"] ))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sym.count()  # eager — supersteps must not pay the build
+    # pre-SPLIT by receiver parity: each round joins/scans only its
+    # active half instead of filtering the full persisted table
+    sym_by_par = [
+        sym_all.filter(F.col("par") == p)
+        .drop("par")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        for p in (0, 1)
+    ]
+    for s in sym_by_par:
+        s.count()  # eager — supersteps must not pay the build
 
     store = CheckpointStore(spark, checkpoint_dir, job_name) if checkpoint_dir else None
     labels = None
@@ -155,7 +163,7 @@ def _lpa_loop(
         if vote_round is not None:
             w_sum = F.round(w_sum, vote_round)
         votes = (
-            sym.filter(F.col("par") == F.lit(it % 2))
+            sym_by_par[it % 2]
             .join(
                 labels.select(F.col("id").alias("nbr"), "label").hint(
                     "shuffle_hash"
@@ -206,7 +214,8 @@ def _lpa_loop(
 
     out = _renumber(labels, verts)
     verts.unpersist()
-    sym.unpersist()
+    for s in sym_by_par:
+        s.unpersist()
     return out
 
 

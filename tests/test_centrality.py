@@ -92,3 +92,51 @@ def test_sampled_betweenness_approximates(spark):
     }
     assert all(v >= 0 for v in approx.values())
     assert sum(approx.values()) > 0
+
+
+def test_zero_weight_edges_match_networkx(spark):
+    """weight=0 → inverse_weight=inf; nx still traverses the edge and
+    records an inf distance, zeroing the source's wf closeness — the
+    engine must mirror that (schema permits weight=0 and distance
+    metrics run before weight sanitation in the reference)."""
+    from k2_18_spark import schemas
+
+    edge_rows = [
+        ("a", "b", "MENTIONS", 1.0, None, 0),
+        ("b", "c", "MENTIONS", 0.0, None, 1),  # inf inverse weight
+        ("c", "d", "MENTIONS", 2.0, None, 2),
+        ("a", "d", "MENTIONS", 0.5, None, 3),
+    ]
+    node_ids = ["a", "b", "c", "d"]
+    nodes = spark.createDataFrame(
+        [(v, "Chunk", "t", 0, None, 3, None, None, None, None, i)
+         for i, v in enumerate(node_ids)],
+        schemas.NODES,
+    )
+    edges = spark.createDataFrame(edge_rows, schemas.EDGES)
+    got = {
+        r["id"]: (r["betweenness_centrality"], r["out_closeness"])
+        for r in betweenness_closeness(spark, edges, nodes=nodes).collect()
+    }
+    data = {
+        "nodes": [{"id": v} for v in node_ids],
+        "edges": [
+            {"source": s, "target": t, "type": ty, "weight": w}
+            for s, t, ty, w, _, _ in edge_rows
+        ],
+    }
+    bet, clo = nx_oracle(data)
+    for nid in bet:
+        assert math.isclose(got[nid][0], bet[nid], abs_tol=1e-9), (nid, "bet")
+        assert math.isclose(got[nid][1], clo[nid], abs_tol=1e-9), (nid, "clo")
+
+
+def test_csr_collect_guard(spark):
+    from k2_18_spark import schemas
+
+    edges = spark.createDataFrame(
+        [(f"v{i}", f"v{i+1}", "MENTIONS", 1.0, None, i) for i in range(20)],
+        schemas.EDGES,
+    )
+    with pytest.raises(RuntimeError, match="driver-broadcast CSR"):
+        betweenness_closeness(spark, edges, max_collect_edges=5)
