@@ -299,16 +299,25 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from k2_18_spark.operators.dedup import minhash_lsh_pairs
 
+    # md5_60 token hash: same banding/bucket/verify logic as the
+    # xxhash64 fast path, but signatures are reproducible in ANSI SQL,
+    # so the DuckDB oracle checks the full LSH pipeline bit-for-bit
     return minhash_lsh_pairs(
-        _load(spark, sf_dir, "documents"), threshold=0.5
+        _load(spark, sf_dir, "documents"), threshold=0.5, token_hash="md5_60"
     )
 
 
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from k2_18_spark.operators.dedup import simhash_near_duplicates
 
+    # 60-bit simhash over md5_60 (the hash carries 60 bits); the oracle
+    # brute-forces ALL pairs ≤ max_hamming, so this row also verifies
+    # the chunk-blocking recall proof end-to-end
     return simhash_near_duplicates(
-        _load(spark, sf_dir, "documents"), max_hamming=6
+        _load(spark, sf_dir, "documents"),
+        max_hamming=6,
+        bits=60,
+        token_hash="md5_60",
     )
 
 
@@ -454,6 +463,154 @@ FROM comp
 """
 
 
+_MD5_60 = "CAST(CONCAT('0x', substr(md5({col}),1,15)) AS BIGINT)"
+
+
+def _minhash_oracle(
+    num_hashes: int = 32, bands: int = 8, threshold: float = 0.5
+) -> str:
+    """MinHash-LSH pairs, mirroring dedup.minhash_lsh_pairs with
+    token_hash='md5_60' exactly: identical shingles, identical affine
+    permutations (same LCG constants via minhash_coefficients),
+    candidate pairs = equality on the raw per-band signature slices
+    (the engine hashes the slice to a bucket id — collision-free up to
+    an xxhash64 collision), then the same exact-Jaccard verification."""
+    from k2_18_spark.operators.dedup import minhash_coefficients
+
+    rng_a, rng_b = minhash_coefficients(num_hashes)
+    rows = num_hashes // bands
+    h = _MD5_60.format(col="s") + " % 2147483647"
+    mins = ",\n           ".join(
+        f"MIN((h * {a} + {b}) % 2147483647) AS m{i}"
+        for i, (a, b) in enumerate(zip(rng_a, rng_b))
+    )
+    band_joins = "\n    UNION\n".join(
+        "    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM sig x JOIN sig y\n"
+        "      ON x.doc_id < y.doc_id AND "
+        + " AND ".join(
+            f"x.m{i * rows + j} = y.m{i * rows + j}" for j in range(rows)
+        )
+        for i in range(bands)
+    )
+    return f"""
+WITH sh AS MATERIALIZED (
+    SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+),
+hv AS MATERIALIZED (
+    SELECT doc_id, {h} AS h FROM sh
+),
+sig AS MATERIALIZED (
+    SELECT doc_id,
+           {mins}
+    FROM hv GROUP BY doc_id
+),
+cand AS MATERIALIZED (
+{band_joins}
+),
+sarr AS MATERIALIZED (
+    SELECT doc_id, {_SHINGLES} AS s FROM documents
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(len(list_intersect(a.s, b.s))
+             / CAST(GREATEST(len(list_distinct(list_concat(a.s, b.s))), 1)
+                    AS DOUBLE), 6) AS jaccard
+FROM cand c
+JOIN sarr a ON c.doc_a = a.doc_id
+JOIN sarr b ON c.doc_b = b.doc_id
+WHERE ROUND(len(list_intersect(a.s, b.s))
+      / CAST(GREATEST(len(list_distinct(list_concat(a.s, b.s))), 1) AS DOUBLE),
+      6) >= {threshold}
+"""
+
+
+def _simhash_oracle(bits: int = 60, max_hamming: int = 6) -> str:
+    """ALL-PAIRS SimHash Hamming check over md5_60 token hashes — a
+    stronger oracle than mirroring the chunk blocking: if the engine's
+    pigeonhole blocking ever loses a pair ≤ max_hamming, this row
+    mismatches."""
+    h = _MD5_60.format(col="t")
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    build = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH tok AS MATERIALIZED (
+    SELECT doc_id, unnest({_TOKENS}) AS t FROM documents
+),
+th AS MATERIALIZED (
+    SELECT doc_id, {h} AS h FROM tok
+),
+votes AS MATERIALIZED (
+    SELECT doc_id,
+           {votes}
+    FROM th GROUP BY doc_id
+),
+shv AS MATERIALIZED (
+    SELECT doc_id, {build} AS sh FROM votes
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM shv a JOIN shv b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
+
+
+def _lsh_topk_oracle(
+    k: int = 10, dim: int = 64, n_planes: int = 8, n_tables: int = 4
+) -> str:
+    """Random-hyperplane LSH top-k, mirroring similarity.lsh_topk
+    exactly: identical LCG-seeded planes embedded as literals, bucket =
+    sign bits of the plane dots, candidates = same-bucket in ≥1 table,
+    exact cosine re-score + rank. Queries are corpus rows vec_id < 5
+    (same as q_emb_lsh_topk), so buckets are computed once."""
+    from k2_18_spark.operators.similarity import _planes
+
+    def bucket_expr(tbl: int) -> str:
+        planes = _planes(dim, n_planes, seed=42 + 1000 * tbl)
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(x) for x in p)
+            + f"]) >= 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        return bits
+
+    table_ctes = ",\n".join(
+        f"bt{t} AS MATERIALIZED (SELECT vec_id, {bucket_expr(t)} AS bucket FROM emb)"
+        for t in range(n_tables)
+    )
+    cand_union = "\n    UNION\n".join(
+        f"    SELECT q.vec_id AS query_id, c.vec_id FROM bt{t} c "
+        f"JOIN (SELECT * FROM bt{t} WHERE vec_id < 5) q ON c.bucket = q.bucket"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH emb AS MATERIALIZED (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+{table_ctes},
+cand AS MATERIALIZED (
+{cand_union}
+),
+scored AS (
+    SELECT cand.query_id, cand.vec_id,
+           ROUND(list_cosine_similarity(c.v, q.v), 6) AS cos_sim
+    FROM cand
+    JOIN emb c ON cand.vec_id = c.vec_id
+    JOIN emb q ON cand.query_id = q.vec_id
+)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+    ) AS rank FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _lpa_oracle(edges_sql: str, max_iter: int = 20) -> str:
     """Unrolled semi-synchronous weighted LPA, mirroring
     k2_18_spark/graph/lpa.py with vote_round=9 exactly: undirected
@@ -588,6 +745,9 @@ def oracle_sql() -> dict[str, str]:
             edges_sql=_DOC_CHAIN_SQL
         ),
         "graph_lpa": _lpa_oracle(_CO_SUPPLIER_SQL),
+        "doc_minhash_pairs": _minhash_oracle(),
+        "doc_simhash_pairs": _simhash_oracle(),
+        "emb_lsh_topk": _lsh_topk_oracle(),
         "graph_degrees": f"""
             WITH e AS ({_CO_SUPPLIER_SQL}),
             verts AS (

@@ -53,10 +53,17 @@ def main() -> None:
     num_v = int(os.environ.get("BENCH_GRAPH_V", max(1000, int(1_000_000 * sf))))
     num_e = int(os.environ.get("BENCH_GRAPH_E", num_v * 15))
 
+    # BENCH_SHUFFLE_PARTITIONS pins the partition count across scaling
+    # runs: partitions are sized by DATA, not by core count — otherwise
+    # a low-core run with few, huge partitions spills and the scaling
+    # ratio measures partition sizing, not compute scaling.
+    shuffle_parts = int(
+        os.environ.get("BENCH_SHUFFLE_PARTITIONS", max(cpus, 8))
+    )
     spark = get_spark(
         app_name="k2_18_bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 8),
+        shuffle_partitions=shuffle_parts,
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -26,6 +26,11 @@ def run_at(cpus: int, sf_dir: str) -> dict:
         # scaling runs use the larger graph so per-superstep compute
         # dominates fixed scheduling overhead (see BASELINE.md)
         BENCH_GRAPH_V=os.environ.get("BENCH_GRAPH_V", "1000000"),
+        # pin the shuffle partition count across both runs — partitions
+        # are sized by data; varying them with cores would conflate
+        # spill behavior with compute scaling (a real N→4N cluster
+        # comparison keeps the same partitioning of the same input)
+        BENCH_SHUFFLE_PARTITIONS=os.environ.get("BENCH_SHUFFLE_PARTITIONS", "64"),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],

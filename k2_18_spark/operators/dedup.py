@@ -121,18 +121,24 @@ def ngram_jaccard_pairs(
 _MERSENNE = (1 << 31) - 1
 
 
-def minhash_signature(
-    docs: DataFrame, num_hashes: int = 32, n: int = 3, text_col: str = "text"
-) -> DataFrame:
-    """k-permutation MinHash over word-n-gram shingles.
-    → (doc_id, sig array<long>). Deterministic seeded affine hashes of
-    xxhash64(shingle) modulo a Mersenne prime."""
-    # explode → groupBy(min × k): ONE pass over the shingle rows with
-    # map-side partial aggregation, instead of k array traversals per doc
-    # (the old transform/array_min expression tree was the bench hotspot)
-    sh = docs.select("doc_id", F.explode(_shingles(text_col, n)).alias("s"))
-    h = F.pmod(F.xxhash64("s"), F.lit(_MERSENNE))
-    # seeded affine permutations; coefficients from a fixed LCG
+def token_hash64(col, token_hash: str = "xxhash64"):
+    """64-bit-ish hash of a string column under a named scheme.
+
+    ``xxhash64``: Spark's native JVM hash — the fast default.
+    ``md5_60``: first 60 bits of md5 as a long — slower, but exactly
+    reproducible in ANSI SQL (DuckDB: CAST(CONCAT('0x',
+    substr(md5(s),1,15)) AS BIGINT)), which lets the driver's oracle
+    replay MinHash/SimHash signatures bit-for-bit."""
+    if token_hash == "xxhash64":
+        return F.xxhash64(col)
+    if token_hash == "md5_60":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown token_hash {token_hash!r}")
+
+
+def minhash_coefficients(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic affine-permutation coefficients from a fixed LCG —
+    public so SQL oracles can embed the identical constants."""
     rng_a, rng_b = [], []
     state = 42
     for _ in range(num_hashes):
@@ -140,6 +146,25 @@ def minhash_signature(
         rng_a.append(state % (_MERSENNE - 1) + 1)
         state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
         rng_b.append(state % _MERSENNE)
+    return rng_a, rng_b
+
+
+def minhash_signature(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    token_hash: str = "xxhash64",
+) -> DataFrame:
+    """k-permutation MinHash over word-n-gram shingles.
+    → (doc_id, sig array<long>). Deterministic seeded affine hashes of
+    hash(shingle) modulo a Mersenne prime."""
+    # explode → groupBy(min × k): ONE pass over the shingle rows with
+    # map-side partial aggregation, instead of k array traversals per doc
+    # (the old transform/array_min expression tree was the bench hotspot)
+    sh = docs.select("doc_id", F.explode(_shingles(text_col, n)).alias("s"))
+    h = F.pmod(token_hash64(F.col("s"), token_hash), F.lit(_MERSENNE))
+    rng_a, rng_b = minhash_coefficients(num_hashes)
     mins = [
         F.min((h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"_m{i}")
         for i, (a, b) in enumerate(zip(rng_a, rng_b))
@@ -157,6 +182,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     max_bucket_size: int | None = None,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact Jaccard verification.
 
@@ -166,7 +192,9 @@ def minhash_lsh_pairs(
     above ``threshold`` (up to LSH recall).
     → (doc_a, doc_b, jaccard)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(docs, num_hashes=num_hashes, n=n, text_col=text_col)
+    sigs = minhash_signature(
+        docs, num_hashes=num_hashes, n=n, text_col=text_col, token_hash=token_hash
+    )
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -220,9 +248,15 @@ def minhash_lsh_pairs(
 # -- SimHash ---------------------------------------------------------------
 
 
-def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over word tokens: sign-sum of per-token hash bits.
-    → (doc_id, simhash long).
+def simhash(
+    docs: DataFrame,
+    bits: int = 64,
+    text_col: str = "text",
+    token_hash: str = "xxhash64",
+) -> DataFrame:
+    """``bits``-bit SimHash over word tokens: sign-sum of per-token hash
+    bits. → (doc_id, simhash long). Use bits ≤ 60 with
+    ``token_hash="md5_60"`` (the hash only carries 60 bits).
 
     explode → groupBy with ``bits`` sum aggregates: one pass over the
     token rows with map-side partial aggregation (the old per-row
@@ -232,7 +266,7 @@ def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text") -> DataFram
     )
     # explode_outer keeps null-text docs (they hash to simhash 0, as before)
     tok = docs.select("doc_id", F.explode_outer(toks).alias("t"))
-    h = F.xxhash64("t")
+    h = token_hash64(F.col("t"), token_hash)
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -253,22 +287,26 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     text_col: str = "text",
     max_bucket_size: int | None = None,
+    bits: int = 64,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
     Candidate generation blocks on ``max_hamming + 1`` contiguous bit
     chunks — by pigeonhole, any pair with ≤ max_hamming differing bits
-    out of 64 shares at least one exact chunk — then verifies with
-    bit_count(xor). Chunk count is DERIVED from the threshold so recall
-    is complete for any max_hamming ≤ 31 (each chunk needs ≥ 2 bits).
+    out of ``bits`` shares at least one exact chunk — then verifies
+    with bit_count(xor). Chunk count is DERIVED from the threshold so
+    recall is complete whenever each chunk keeps ≥ 2 bits.
     → (doc_a, doc_b, hamming)."""
     n_chunks = max_hamming + 1
-    if n_chunks > 32:
-        raise ValueError("max_hamming must be <= 31 for 64-bit chunk blocking")
-    base, rem = divmod(64, n_chunks)
+    if n_chunks > bits // 2:
+        raise ValueError(
+            f"max_hamming must be <= {bits // 2 - 1} for {bits}-bit chunk blocking"
+        )
+    base, rem = divmod(bits, n_chunks)
     widths = [base + 1] * rem + [base] * (n_chunks - rem)
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
-    sh = simhash(docs, text_col=text_col)
+    sh = simhash(docs, bits=bits, text_col=text_col, token_hash=token_hash)
     chunks = sh.select(
         "doc_id",
         "simhash",
