@@ -243,6 +243,14 @@ def q_graph_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(spark, _doc_chain_edges(spark, sf_dir))
 
 
+def q_graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(log n) large-star/small-star variant on the chain graph — same
+    oracle as the min-label run (the contract is algorithm-agnostic)."""
+    from k2_18_spark.graph.components import connected_components_star
+
+    return connected_components_star(spark, _doc_chain_edges(spark, sf_dir))
+
+
 def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     from k2_18_spark.graph.lpa import label_propagation
 
@@ -365,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_components": q_graph_components,
         "graph_components_chain": q_graph_components_chain,
+        "graph_components_star": q_graph_components_star,
         "graph_lpa": q_graph_lpa,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
@@ -742,6 +751,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _PAGERANK_ORACLE.format(edges_sql=_CO_SUPPLIER_SQL),
         "graph_components": _COMPONENTS_ORACLE.format(edges_sql=_CO_SUPPLIER_SQL),
         "graph_components_chain": _COMPONENTS_ORACLE.format(
+            edges_sql=_DOC_CHAIN_SQL
+        ),
+        "graph_components_star": _COMPONENTS_ORACLE.format(
             edges_sql=_DOC_CHAIN_SQL
         ),
         "graph_lpa": _lpa_oracle(_CO_SUPPLIER_SQL),

@@ -196,7 +196,9 @@ def _build_adjacency(
     )
     # minimal row width for the per-superstep join: (src_id, dst_id, frac)
     e = (
-        collapsed.join(out_w.select("src_id", "out_wsum"), "src_id")
+        collapsed.join(
+            out_w.select("src_id", "out_wsum").hint("shuffle_hash"), "src_id"
+        )
         .select(
             "src_id", "dst_id", (F.col("weight") / F.col("out_wsum")).alias("frac")
         )

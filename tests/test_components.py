@@ -3,6 +3,7 @@ reference renumbering (min original node position, sequential 0..k-1)."""
 
 import pytest
 
+from k2_18_spark import schemas
 from k2_18_spark.graph.components import connected_components
 from k2_18_spark.io import fixtures
 from tests.nx_oracle import to_nx
@@ -93,3 +94,59 @@ def test_inverse_weight_golden(spark):
         for key, exp in fixtures.expected_edge_metrics(name).items():
             if "inverse_weight" in exp:
                 assert abs(got[key] - exp["inverse_weight"]) <= 1e-5, (name, key)
+
+
+def test_star_components_matches_minlabel_random(spark):
+    """Alternating large-star/small-star (O(log n) rounds) must produce
+    byte-identical (id, component_id) output to the min-label loop."""
+    import random
+
+    from k2_18_spark.graph.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    ids = [f"v{i:03d}" for i in range(120)]
+    edge_rows = []
+    for k in range(150):
+        a, b = rng.sample(ids, 2)
+        edge_rows.append((a, b, "MENTIONS", 1.0, None, k))
+    edges = spark.createDataFrame(edge_rows, schemas.EDGES)
+    want = sorted(map(tuple, connected_components(spark, edges).collect()))
+    got = sorted(map(tuple, connected_components_star(spark, edges).collect()))
+    assert got == want
+
+
+def test_star_components_long_chain_few_rounds(spark):
+    """A 300-vertex chain has diameter 299 — min-label needs ~300
+    supersteps; the star loop must finish inside its 60-round cap
+    (O(log n)) and still label the whole chain as one component."""
+    from k2_18_spark.graph.components import connected_components_star
+
+    n = 300
+    edge_rows = [
+        (f"c{i:04d}", f"c{i+1:04d}", "MENTIONS", 1.0, None, i)
+        for i in range(n - 1)
+    ]
+    edges = spark.createDataFrame(edge_rows, schemas.EDGES)
+    out = connected_components_star(spark, edges).collect()
+    assert len(out) == n
+    assert {r["component_id"] for r in out} == {0}
+
+
+def test_star_components_isolated_and_multi(spark):
+    from k2_18_spark.graph.components import connected_components_star
+
+    nodes = spark.createDataFrame(
+        [(v, "Chunk", "t", 0, None, 3, None, None, None, None, i)
+         for i, v in enumerate(["a", "b", "c", "d", "iso"])],
+        schemas.NODES,
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", "MENTIONS", 1.0, None, 0), ("c", "d", "MENTIONS", 1.0, None, 1)],
+        schemas.EDGES,
+    )
+    got = {r["id"]: r["component_id"]
+           for r in connected_components_star(spark, edges, nodes=nodes).collect()}
+    assert got == {"a": 0, "b": 0, "c": 1, "d": 1, "iso": 2}
