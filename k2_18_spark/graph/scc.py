@@ -91,10 +91,16 @@ def strongly_connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_core_vertices: int = 2_000_000,
+    method: str = "auto",
 ) -> DataFrame:
     """→ (id, scc_id) where scc_id = min member id of the SCC.
 
     ``edges`` is the (already filtered) subgraph to decompose.
+
+    ``method``: "auto" runs driver Tarjan on cyclic cores up to
+    ``max_core_vertices`` and switches to the distributed
+    forward-backward decomposition (_fwbw_scc) above it; "tarjan" /
+    "fwbw" force a path ("tarjan" raises over the limit).
     """
     from k2_18_spark.graph.adjacency import vertex_ids
 
@@ -130,34 +136,161 @@ def strongly_connected_components(
         scc = verts.select("id", F.col("id").alias("scc_id"))
         return scc
 
-    # guard BEFORE the collect — a huge cyclic core must raise, not OOM
-    # the driver while materializing the rows it was meant to reject
+    # guard BEFORE the collect — a huge cyclic core must never OOM the
+    # driver; above the limit "auto" switches to the distributed path
     n_core = (
         remaining_e.select(F.col("src_id").alias("id"))
         .union(remaining_e.select(F.col("dst_id").alias("id")))
         .distinct()
         .count()
     )
-    if n_core > max_core_vertices:
-        raise RuntimeError(
-            f"cyclic core too large for driver Tarjan ({n_core} vertices)"
+    if method == "fwbw" or (method == "auto" and n_core > max_core_vertices):
+        core_df = _fwbw_scc(spark, remaining_e)
+    else:
+        if n_core > max_core_vertices:
+            raise RuntimeError(
+                f"cyclic core too large for driver Tarjan ({n_core} vertices)"
+            )
+        core_edges = remaining_e.collect()
+        core_vertices = {r["src_id"] for r in core_edges} | {
+            r["dst_id"] for r in core_edges
+        }
+        adj: dict = {}
+        for r in core_edges:
+            adj.setdefault(r["src_id"], []).append(r["dst_id"])
+        core_map = _tarjan(sorted(core_vertices), adj)
+        core_df = spark.createDataFrame(
+            list(core_map.items()), "id string, scc_id string"
         )
-    core_edges = remaining_e.collect()
-    core_vertices = {r["src_id"] for r in core_edges} | {
-        r["dst_id"] for r in core_edges
-    }
-    adj: dict = {}
-    for r in core_edges:
-        adj.setdefault(r["src_id"], []).append(r["dst_id"])
-    core_map = _tarjan(sorted(core_vertices), adj)
-    core_df = spark.createDataFrame(
-        list(core_map.items()), "id string, scc_id string"
-    )
     scc = (
         verts.join(core_df, "id", "left")
         .select("id", F.coalesce("scc_id", F.col("id")).alias("scc_id"))
     )
     return scc
+
+
+def _fwbw_scc(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_rounds: int = 64,
+    max_bfs_supersteps: int = 512,
+) -> DataFrame:
+    """Distributed forward-backward SCC decomposition of a cyclic core
+    (Fleischer/Hendrickson/Pinar FW-BW, multi-pivot variant): per
+    round, every active partition picks its min vertex as pivot,
+    forward- and backward-BFS run for ALL partitions simultaneously
+    (partition-confined frontiers), FW ∩ BW is the pivot's SCC, and the
+    leftovers split into FW-only / BW-only / untouched sub-partitions.
+    Wholly DataFrame-side — the web-scale path when the trimmed cyclic
+    core exceeds the driver-Tarjan budget.
+
+    The pivot is the partition MINIMUM and belongs to its SCC, so the
+    emitted scc_id = min member id, matching the Tarjan path exactly.
+    → (id, scc_id), core vertices only."""
+    from k2_18_spark.graph.adjacency import dense_vertex_ids, vertex_ids
+
+    vmap = dense_vertex_ids(vertex_ids(edges, None))  # (id, ord)
+    es = (
+        edges.join(
+            vmap.select(F.col("id").alias("src_id"), F.col("ord").alias("s")),
+            "src_id",
+        )
+        .join(
+            vmap.select(F.col("id").alias("dst_id"), F.col("ord").alias("d")),
+            "dst_id",
+        )
+        .select("s", "d")
+        .localCheckpoint(eager=True)
+    )
+    parts = vmap.select(
+        F.col("ord").alias("id"), F.lit(0).cast("long").alias("part")
+    ).localCheckpoint(eager=True)
+    settled = None
+
+    def bfs(src: str, dst: str) -> DataFrame:
+        """Multi-source partition-confined reachability from the pivots
+        along (src→dst) edges. → (part, id) reached set."""
+        reached = pivots.select("part", F.col("pivot").alias("id")).localCheckpoint(
+            eager=True
+        )
+        frontier = reached
+        for _ in range(max_bfs_supersteps):
+            nxt = (
+                frontier.join(
+                    es.withColumnRenamed(src, "id").hint("shuffle_hash"), "id"
+                )
+                .select("part", F.col(dst).alias("id"))
+                .join(
+                    parts.withColumnRenamed("part", "_p").hint("shuffle_hash"),
+                    "id",
+                )
+                .filter(F.col("part") == F.col("_p"))
+                .select("part", "id")
+                .distinct()
+                .join(reached, ["part", "id"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        else:
+            raise RuntimeError("FW-BW BFS exceeded max_bfs_supersteps")
+        return reached
+
+    for _ in range(max_rounds):
+        if parts.isEmpty():
+            break
+        pivots = parts.groupBy("part").agg(F.min("id").alias("pivot"))
+        fw = bfs("s", "d")
+        bw = bfs("d", "s")
+        scc_rows = (
+            fw.join(bw, ["part", "id"])
+            .join(pivots, "part")
+            .select("id", F.col("pivot").alias("scc"))
+            .localCheckpoint(eager=True)
+        )
+        settled = (
+            scc_rows
+            if settled is None
+            else settled.unionByName(scc_rows).localCheckpoint(eager=True)
+        )
+        remaining = parts.join(scc_rows.select("id"), "id", "left_anti")
+        # FW-only → sub-part 0, BW-only → 1, untouched → 2 (disjoint:
+        # FW ∩ BW vertices just settled)
+        parts = (
+            remaining.join(fw.withColumn("_f", F.lit(1)), ["part", "id"], "left")
+            .join(bw.withColumn("_b", F.lit(1)), ["part", "id"], "left")
+            .select(
+                "id",
+                (
+                    F.col("part") * 3
+                    + F.when(F.col("_f") == 1, 0)
+                    .when(F.col("_b") == 1, 1)
+                    .otherwise(2)
+                ).alias("part"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # prune settled vertices' edges so later BFS rounds shrink
+        es = (
+            es.join(parts.select(F.col("id").alias("s")), "s", "left_semi")
+            .join(parts.select(F.col("id").alias("d")), "d", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        if not parts.isEmpty():
+            raise RuntimeError(f"FW-BW did not settle in {max_rounds} rounds")
+
+    dec = vmap.select(F.col("ord").alias("id"), F.col("id").alias("_orig"))
+    return (
+        settled.join(dec, "id")
+        .join(
+            vmap.select(F.col("ord").alias("scc"), F.col("id").alias("scc_id")),
+            "scc",
+        )
+        .select(F.col("_orig").alias("id"), "scc_id")
+    )
 
 
 def prerequisite_metrics(

@@ -138,8 +138,14 @@ def dedup_graph(
     embeddings: DataFrame,
     sim_threshold: float = 0.85,
     len_ratio_min: float = 0.8,
+    validate: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
-    """→ (nodes_out, edges_out, dedup_map, stats)."""
+    """→ (nodes_out, edges_out, dedup_map, stats).
+
+    ``validate=True`` runs the stage-boundary invariant validator on the
+    output graph (the reference validates after every stage —
+    src/utils/validation.py:106-169) and raises GraphInvariantError on
+    any violation; the report lands in ``stats["validation"]``."""
     nodes_before = nodes.count()
     edges_before = edges.count()
 
@@ -174,4 +180,8 @@ def dedup_graph(
         "edges_after": edges_out.count(),
         "duplicates_removed": dedup_map.count(),
     }
+    if validate:
+        from k2_18_spark.operators.validate import assert_valid_graph
+
+        stats["validation"] = assert_valid_graph(nodes_out, edges_out)
     return nodes_out, edges_out, dedup_map_csv, stats

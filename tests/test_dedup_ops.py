@@ -127,8 +127,12 @@ def test_scc_core_guard_raises_before_collect(spark):
     cycle = [(f"v{i}", f"v{(i + 1) % 8}", "PREREQUISITE", 1.0, None, i)
              for i in range(8)]
     edges = spark.createDataFrame(cycle, schemas.EDGES)
+    # forced tarjan must refuse (guard fires BEFORE collecting);
+    # method="auto" instead switches to the distributed FW-BW path
     with pytest.raises(RuntimeError, match="cyclic core too large"):
-        strongly_connected_components(spark, edges, max_core_vertices=4)
+        strongly_connected_components(
+            spark, edges, max_core_vertices=4, method="tarjan"
+        )
     # and with an adequate guard the 8-cycle is one SCC
     scc = strongly_connected_components(spark, edges, max_core_vertices=100)
     assert {r["scc_id"] for r in scc.collect()} == {"v0"}

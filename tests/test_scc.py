@@ -105,3 +105,89 @@ def test_scc_on_cycle(spark):
     for scc in nx.strongly_connected_components(h):
         ids = {got[n] for n in scc}
         assert len(ids) == 1, scc
+
+
+def _nx_scc_min(edge_pairs, all_ids):
+    h = nx.DiGraph()
+    h.add_nodes_from(all_ids)
+    h.add_edges_from(edge_pairs)
+    want = {}
+    for comp in nx.strongly_connected_components(h):
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+    return want
+
+
+def test_fwbw_matches_networkx_random(spark):
+    """Distributed FW-BW must produce the same (id, min-member scc_id)
+    map as networkx on seeded random digraphs — including graphs whose
+    trimmed core contains trivial SCCs (chains between cycles)."""
+    import random
+
+    from k2_18_spark import schemas
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        ids = [f"n{i:02d}" for i in range(40)]
+        pairs = set()
+        while len(pairs) < 80:
+            a, b = rng.sample(ids, 2)
+            pairs.add((a, b))
+        edges = spark.createDataFrame(
+            [(a, b, "PREREQUISITE", 1.0, None, i)
+             for i, (a, b) in enumerate(sorted(pairs))],
+            schemas.EDGES,
+        )
+        got = {
+            r["id"]: r["scc_id"]
+            for r in strongly_connected_components(
+                spark, edges, method="fwbw"
+            ).collect()
+        }
+        want = _nx_scc_min(pairs, ids)
+        # vertices w/o edges don't appear; restrict to those present
+        assert got == {k: v for k, v in want.items() if k in got}, seed
+        # and the forced-fwbw path agrees with the tarjan path
+        got_t = {
+            r["id"]: r["scc_id"]
+            for r in strongly_connected_components(
+                spark, edges, method="tarjan"
+            ).collect()
+        }
+        assert got == got_t, seed
+
+
+def test_fwbw_two_cycles_with_bridge(spark):
+    """Two 4-cycles joined by a path of trivial SCCs — exercises the
+    partition-splitting recursion."""
+    from k2_18_spark import schemas
+
+    cyc1 = [("a0", "a1"), ("a1", "a2"), ("a2", "a3"), ("a3", "a0")]
+    cyc2 = [("b0", "b1"), ("b1", "b2"), ("b2", "b3"), ("b3", "b0")]
+    bridge = [("a0", "m1"), ("m1", "m2"), ("m2", "b0")]
+    pairs = cyc1 + cyc2 + bridge
+    edges = spark.createDataFrame(
+        [(a, b, "PREREQUISITE", 1.0, None, i) for i, (a, b) in enumerate(pairs)],
+        schemas.EDGES,
+    )
+    got = {
+        r["id"]: r["scc_id"]
+        for r in strongly_connected_components(spark, edges, method="fwbw").collect()
+    }
+    ids = sorted({v for p in pairs for v in p})
+    assert got == _nx_scc_min(pairs, ids)
+
+
+def test_auto_switches_to_fwbw_above_core_budget(spark):
+    """method='auto' with a tiny max_core_vertices must no longer raise
+    — it decomposes the oversized core distributively."""
+    from k2_18_spark import schemas
+
+    cycle = [(f"v{i}", f"v{(i + 1) % 8}", "PREREQUISITE", 1.0, None, i)
+             for i in range(8)]
+    edges = spark.createDataFrame(cycle, schemas.EDGES)
+    got = {r["id"]: r["scc_id"]
+           for r in strongly_connected_components(
+               spark, edges, max_core_vertices=4).collect()}
+    assert set(got.values()) == {"v0"}
