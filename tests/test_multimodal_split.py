@@ -97,3 +97,115 @@ def test_graph_json_roundtrip(spark, tmp_path):
     n2, e2, meta = read_graph_json(spark, str(out))
     assert n2.count() == nodes.count() and e2.count() == edges.count()
     assert meta["source"] == "roundtrip"
+
+
+# -- real stdlib codecs (round 2) --------------------------------------------
+
+import struct
+import zlib
+
+
+def _png_chunk(typ, data):
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def make_png(w, h, pixel_fn, color_type=2, row_filter=0):
+    """Minimal real PNG encoder (8-bit, no interlace). row_filter 0 or 2
+    (Up) to exercise the decoder's filter reversal."""
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    rows = [
+        bytes(v for x in range(w) for v in pixel_fn(x, y)[:ch])
+        for y in range(h)
+    ]
+    raw = b""
+    prev = bytes(w * ch)
+    for line in rows:
+        if row_filter == 2:
+            raw += b"\x02" + bytes((c - p) & 0xFF for c, p in zip(line, prev))
+        else:
+            raw += b"\x00" + line
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_wav(sample_rate=8000, n=4000):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(b"\x00\x01" * n)
+    return buf.getvalue()
+
+
+def make_jpeg(w, h):
+    sof = struct.pack(">HBHHB", 17, 8, h, w, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    return b"\xff\xd8\xff\xc0" + sof + b"\xff\xd9"
+
+
+def test_real_image_metadata_formats(spark):
+    from k2_18_spark.operators.multimodal import image_metadata
+
+    png = make_png(20, 10, lambda x, y: (x * 12 % 256, 0, 0))
+    gif = b"GIF89a" + struct.pack("<HH", 33, 44) + b"\x00" * 10
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 55, -66) + b"\x00" * 10
+    jpg = make_jpeg(77, 88)
+    media = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(gif)), (3, bytearray(bmp)),
+         (4, bytearray(jpg))],
+        "doc_id long, media binary",
+    )
+    got = {r["doc_id"]: (r["width"], r["height"], r["mode"])
+           for r in image_metadata(media, fake_decode=False).collect()}
+    assert got[1] == (20, 10, "RGB")
+    assert got[2] == (33, 44, "P")
+    assert got[3] == (55, 66, "RGB")
+    assert got[4] == (77, 88, "RGB")
+
+
+def test_real_wav_metadata(spark):
+    from k2_18_spark.operators.multimodal import audio_metadata
+
+    media = spark.createDataFrame(
+        [(1, bytearray(make_wav(8000, 4000)))], "doc_id long, media binary"
+    )
+    r = audio_metadata(media, fake_decode=False).collect()[0]
+    assert (r["sample_rate"], r["n_samples"]) == (8000, 4000)
+    assert abs(r["duration_s"] - 0.5) < 1e-9
+
+
+def test_image_features_real_pixels(spark):
+    from k2_18_spark.operators.multimodal import image_features
+
+    grad = make_png(32, 32, lambda x, y: (x * 255 // 31,) * 3)
+    grad_up = make_png(32, 32, lambda x, y: (x * 255 // 31,) * 3, row_filter=2)
+    inv = make_png(32, 32, lambda x, y: (255 - x * 255 // 31,) * 3)
+    dark = make_png(16, 16, lambda x, y: (10 + (x + y) % 3, 10, 10))
+    media = spark.createDataFrame(
+        [(1, bytearray(grad)), (2, bytearray(inv)), (3, bytearray(dark)),
+         (4, bytearray(grad_up)), (5, bytearray(b"not a png"))],
+        "doc_id long, media binary",
+    )
+    got = {r["doc_id"]: r for r in image_features(media).collect()}
+    # real dims and channels from the pixel decoder
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (32, 32, 3)
+    # filter-2 (Up) encoding decodes to the same pixels → same ahash
+    assert got[4]["ahash"] == got[1]["ahash"]
+    # gradient vs inverted gradient: different fingerprints
+    assert got[1]["ahash"] != got[2]["ahash"]
+    # dark image has lower mean luma than the gradient
+    assert got[3]["mean_luma"] < got[1]["mean_luma"]
+    # undecodable bytes → null features, row preserved
+    assert got[5]["ahash"] is None and got[5]["width"] is None
