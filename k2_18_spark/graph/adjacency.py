@@ -137,6 +137,7 @@ def build_adjacency(
     nodes: DataFrame | None = None,
     num_partitions: int | None = None,
     hub_top_k: int = 256,
+    encode: str = "hash",
 ) -> Adjacency:
     """Build the reusable adjacency for PageRank-style supersteps.
 
@@ -144,11 +145,20 @@ def build_adjacency(
     ``frac = weight / out_wsum`` so the per-iteration contribution is a
     single multiply (no per-iteration normalization job). Edges are
     repartitioned by src_id (CSR-style bucketing) and persisted.
+
+    ``encode``: vertex-id encoding strategy. "hash" (default) encodes
+    inline with xxhash64 — ZERO extra joins at build (an expression on
+    each edge row), deterministic, resume-safe — and verifies
+    injectivity with one |V| aggregate, falling back to "dense"
+    (two-phase dense numbering + two encode joins) on the
+    astronomically-rare collision. PageRank doesn't need ORDERED ids,
+    only unique ones; components/LPA keep dense order encoding because
+    their labels double as renumbering keys.
     """
     from k2_18_spark.session import superstep_conf
 
     with superstep_conf(edges.sparkSession):
-        return _build_adjacency(edges, nodes, num_partitions, hub_top_k)
+        return _build_adjacency(edges, nodes, num_partitions, hub_top_k, encode)
 
 
 def _build_adjacency(
@@ -156,29 +166,48 @@ def _build_adjacency(
     nodes: DataFrame | None,
     num_partitions: int | None,
     hub_top_k: int,
+    encode: str = "hash",
 ) -> Adjacency:
-    # dictionary-encode vertices FIRST (deterministic dense longs, so a
-    # resumed job re-derives the identical encoding), then one shuffle
-    # builds the rest: hash(src_id) partitioning satisfies the clustering
-    # requirement of the (src,dst) collapse, the out-weight aggregate,
-    # AND the normalization join (subset rule), so everything below the
+    # vertex encoding FIRST (deterministic, so a resumed job re-derives
+    # the identical encoding), then one shuffle builds the rest:
+    # hash(src_id) partitioning satisfies the clustering requirement of
+    # the (src,dst) collapse, the out-weight aggregate, AND the
+    # normalization join (subset rule), so everything below the
     # repartition is exchange-free.
-    vmap = dense_vertex_ids(vertex_ids(edges, nodes))  # (id, ord)
     raw = edges.select("src_id", "dst_id", "weight", *(
         ["edge_order"] if "edge_order" in edges.columns else []
     ))
-    enc_src = vmap.select(F.col("id").alias("src_id"), F.col("ord").alias("_vs"))
-    enc_dst = vmap.select(F.col("id").alias("dst_id"), F.col("ord").alias("_vd"))
-    raw = (
-        raw.join(enc_src.hint("shuffle_hash"), "src_id")
-        .join(enc_dst.hint("shuffle_hash"), "dst_id")
-        .select(
-            F.col("_vs").alias("src_id"),
-            F.col("_vd").alias("dst_id"),
+    if encode == "hash":
+        vb = vertex_ids(edges, nodes)
+        stats = vb.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.xxhash64("id")).alias("nd"),
+        ).collect()[0]
+        if stats["n"] != stats["nd"]:
+            # 64-bit collision — fall back to join-based dense encoding
+            return _build_adjacency(edges, nodes, num_partitions, hub_top_k, "dense")
+        vmap_dec = vb.select(F.col("id").alias("orig_id"), F.xxhash64("id").alias("id"))
+        raw = raw.select(
+            F.xxhash64("src_id").alias("src_id"),
+            F.xxhash64("dst_id").alias("dst_id"),
             "weight",
             *(["edge_order"] if "edge_order" in edges.columns else []),
         )
-    )
+    else:
+        vmap = dense_vertex_ids(vertex_ids(edges, nodes))  # (id, ord)
+        vmap_dec = vmap.select(F.col("ord").alias("id"), F.col("id").alias("orig_id"))
+        enc_src = vmap.select(F.col("id").alias("src_id"), F.col("ord").alias("_vs"))
+        enc_dst = vmap.select(F.col("id").alias("dst_id"), F.col("ord").alias("_vd"))
+        raw = (
+            raw.join(enc_src.hint("shuffle_hash"), "src_id")
+            .join(enc_dst.hint("shuffle_hash"), "dst_id")
+            .select(
+                F.col("_vs").alias("src_id"),
+                F.col("_vd").alias("dst_id"),
+                "weight",
+                *(["edge_order"] if "edge_order" in edges.columns else []),
+            )
+        )
     if num_partitions:
         raw = raw.repartition(num_partitions, "src_id")
     else:
@@ -207,7 +236,7 @@ def _build_adjacency(
     e.count()  # materialize now — supersteps must not pay the build
 
     verts = (
-        vmap.select(F.col("ord").alias("id"), F.col("id").alias("orig_id"))
+        vmap_dec
         .join(out_w.withColumnRenamed("src_id", "id"), "id", "left")
         .select(
             "id",
