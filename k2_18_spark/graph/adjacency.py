@@ -97,7 +97,12 @@ def dense_vertex_ids(
         offsets[r["_pid"]] = running
         running += r["c"]
     w = Window.partitionBy("_pid").orderBy(id_col)
-    mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    # zero-arg create_map() types as map<void,void> and can't be indexed
+    # by an int — an empty input needs an explicit typed empty map
+    if offsets:
+        mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    else:
+        mapping = F.lit(None).cast("map<int,long>")
     out = parts.select(
         id_col,
         (F.row_number().over(w) - 1 + F.coalesce(mapping[F.col("_pid")], F.lit(0)))

@@ -422,10 +422,16 @@ def _url_offsets(sliced: DataFrame) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     base = F.coalesce(F.sum("cnt").over(w), F.lit(0))
-    mapping = F.create_map(
-        *[F.lit(x) for kv in part_offset.items() for x in kv]
-    )
+    # zero-arg create_map() can't be indexed by an int key (void map)
+    if part_offset:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in part_offset.items() for x in kv]
+        )
+    else:
+        mapping = F.lit(None).cast("map<int,long>")
     return counts.select(
         "source_file",
-        (base + mapping[F.col("pid")]).cast("long").alias("offset"),
+        (base + F.coalesce(mapping[F.col("pid")], F.lit(0)))
+        .cast("long")
+        .alias("offset"),
     )

@@ -98,3 +98,10 @@ def test_two_phase_numbering_matches_global_sort(spark):
     # numbering follows (url, slice_index) lexicographic order exactly
     keys = [(r["source_file"], r["slice_token_start"]) for r in got]
     assert keys == sorted(keys)
+
+
+def test_slice_documents_empty_input(spark):
+    """Zero pages → zero slices (the two-phase numbering must not choke
+    on an empty per-partition offset map)."""
+    pages = spark.createDataFrame([], schemas.PAGES)
+    assert slice_documents(pages).count() == 0
