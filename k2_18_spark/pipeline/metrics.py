@@ -128,3 +128,41 @@ def compute_all_metrics(
         "num_clusters": clusters.agg(F.countDistinct("cluster_id")).collect()[0][0],
     }
     return nodes_out, edges_out, summary
+
+
+def run_graph2metrics(
+    spark: SparkSession,
+    nodes: DataFrame,
+    edges: DataFrame,
+    demo_path_strategy: int = 1,
+    demo_path_max_nodes: int = 15,
+    **kwargs,
+) -> tuple[DataFrame, DataFrame, dict]:
+    """The reference's COMPLETE graph2metrics run: metrics DAG + the
+    ``_meta`` payload (demo path, course sequence, generation config —
+    viz/graph2metrics.py:1514-1635 attach both to ``_meta``).
+
+    → (nodes_with_metrics, edges_with_metrics, meta) where ``meta``
+    carries the summary plus ``demo_path``, ``demo_generation_config``
+    and ``course_sequence``."""
+    from k2_18_spark.pipeline.demo_path import generate_demo_path
+    from k2_18_spark.pipeline.paths import course_sequence
+
+    nodes_out, edges_out, summary = compute_all_metrics(
+        spark, nodes, edges, **kwargs
+    )
+    meta = dict(summary)
+    meta.update(
+        generate_demo_path(
+            spark,
+            nodes_out,
+            edges,
+            strategy=demo_path_strategy,
+            max_nodes=demo_path_max_nodes,
+        )
+    )
+    meta["course_sequence"] = [
+        r["id"]
+        for r in course_sequence(nodes).orderBy("sequence_order").collect()
+    ]
+    return nodes_out, edges_out, meta

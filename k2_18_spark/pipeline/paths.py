@@ -18,14 +18,26 @@ DEMO_PATH_EDGE_TYPES = ["PREREQUISITE", "ELABORATES", "EXAMPLE_OF"]
 
 
 def course_sequence(nodes: DataFrame) -> DataFrame:
-    """Chunk nodes ordered by (slug, position) → (id, slug, position,
-    sequence_order)."""
-    chunks = nodes.filter(F.col("type") == "Chunk").select(
-        "id",
-        F.split("id", ":").getItem(0).alias("slug"),
-        F.split("id", ":").getItem(2).cast("long").alias("position"),
+    """Chunk nodes ordered by position → (id, slug, position,
+    sequence_order).
+
+    Reference semantics (viz/graph2metrics.py:1599-1624): only Chunk
+    ids containing ``:c:`` participate, position = int after ``:c:``
+    (unparseable ids are skipped with a warning there, filtered here),
+    and the sequence sorts by POSITION ALONE across slugs (ties broken
+    by id for determinism; the reference keeps input order)."""
+    split = F.split("id", ":c:")
+    chunks = (
+        nodes.filter((F.col("type") == "Chunk") & F.col("id").contains(":c:"))
+        .select(
+            "id",
+            split.getItem(0).alias("slug"),
+            # try_cast: non-numeric positions are skipped, not ANSI errors
+            F.get(split, 1).try_cast("long").alias("position"),
+        )
+        .filter(F.col("position").isNotNull())
     )
-    w = Window.orderBy("slug", "position", "id")
+    w = Window.orderBy("position", "id")
     return chunks.withColumn("sequence_order", F.row_number().over(w))
 
 

@@ -165,3 +165,21 @@ def test_validator_accepts_clean_graph(spark):
     )
     report = assert_valid_graph(nodes, edges)
     assert report["valid"] and report["total_violations"] == 0
+
+
+def test_run_graph2metrics_meta_payload(spark):
+    """The complete run attaches demo_path + course_sequence to the
+    meta payload like the reference's _meta (graph2metrics steps 11)."""
+    from k2_18_spark.io import fixtures
+    from k2_18_spark.pipeline.metrics import run_graph2metrics
+
+    nodes, edges, _ = fixtures.load_fixture(spark, "test_realistic_mini")
+    nm, em, meta = run_graph2metrics(spark, nodes, edges, demo_path_max_nodes=6)
+    assert 0 < len(meta["demo_path"]) <= 6
+    assert meta["demo_generation_config"]["strategy_name"] == "optimal"
+    assert meta["pagerank_sum_ok"]
+    # course sequence: exactly the Chunk ids carrying the {slug}:c:{pos}
+    # shape (the reference skips others — viz/graph2metrics.py:1609)
+    chunk_ids = {r["id"] for r in nodes.filter("type = 'Chunk'").collect()}
+    seq_ids = {i for i in chunk_ids if ":c:" in i}
+    assert set(meta["course_sequence"]) == seq_ids

@@ -19,7 +19,9 @@ def test_course_sequence(spark):
         "id string, type string, text string",
     )
     got = [r["id"] for r in course_sequence(nodes).orderBy("sequence_order").collect()]
-    assert got == ["alg:c:0", "alg:c:100", "alg:c:200", "zlg:c:50"]
+    # reference orders by POSITION alone across slugs
+    # (viz/graph2metrics.py:1624), not slug-major
+    assert got == ["alg:c:0", "zlg:c:50", "alg:c:100", "alg:c:200"]
 
 
 def test_ancestors_reverse_bfs(spark):
