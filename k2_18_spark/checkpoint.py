@@ -36,10 +36,22 @@ _ITER_RE = re.compile(r"^iteration=(\d+)$")
 
 
 class CheckpointStore:
-    def __init__(self, spark: SparkSession, root: str, job: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        job: str,
+        state_version: str = "v1",
+    ):
+        """``state_version`` names the state encoding (e.g. the vertex-id
+        scheme). It is stamped into every ``_ITER_OK`` marker, and resume
+        REFUSES markers written under a different version — a checkpoint
+        written with string vertex ids silently joined against
+        long-encoded vertices would produce empty output, not an error."""
         self.spark = spark
         self.root = root
         self.job = job
+        self.state_version = state_version
         self.job_dir = os.path.join(root, job)
         os.makedirs(os.path.join(self.job_dir, "state"), exist_ok=True)
 
@@ -69,7 +81,11 @@ class CheckpointStore:
         wall_ms = (time.monotonic() - t0) * 1000.0
         reread = self.spark.read.parquet(path)
         self._append_lineage(iteration, reread, rows_in, wall_ms)
-        meta = {"iteration": iteration, "wall_ms": wall_ms}
+        meta = {
+            "iteration": iteration,
+            "wall_ms": wall_ms,
+            "state_version": self.state_version,
+        }
         if extra:
             meta.update(extra)
         with open(self._marker(iteration), "w", encoding="utf-8") as f:
@@ -77,13 +93,26 @@ class CheckpointStore:
         return reread
 
     def latest_iteration(self) -> int | None:
-        """Highest iteration with a complete (_ITER_OK) state write."""
+        """Highest iteration with a complete (_ITER_OK) state write.
+
+        Raises ``ValueError`` if a complete marker was written under a
+        different ``state_version`` — resuming across an encoding change
+        must be an explicit decision (clear the checkpoint dir), never a
+        silent empty-join."""
         state_dir = os.path.join(self.job_dir, "state")
         best = None
         for name in os.listdir(state_dir):
             m = _ITER_RE.match(name)
             if m and os.path.exists(self._marker(int(m.group(1)))):
                 n = int(m.group(1))
+                found = self.load_marker(n).get("state_version", "v1")
+                if found != self.state_version:
+                    raise ValueError(
+                        f"checkpoint {self.job_dir} iteration={n} was written "
+                        f"with state_version={found!r} but this job expects "
+                        f"{self.state_version!r}; delete the checkpoint dir to "
+                        "restart from scratch"
+                    )
                 best = n if best is None or n > best else best
         return best
 

@@ -99,7 +99,13 @@ def _components_loop(
     )
     sym.count()  # eager — supersteps must not pay the build
 
-    store = CheckpointStore(spark, checkpoint_dir, job_name) if checkpoint_dir else None
+    store = (
+        CheckpointStore(
+            spark, checkpoint_dir, job_name, state_version="encoded-long-v2"
+        )
+        if checkpoint_dir
+        else None
+    )
 
     labels = None
     start_iter = 0

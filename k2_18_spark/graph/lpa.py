@@ -133,7 +133,13 @@ def _lpa_loop(
     for s in sym_by_par:
         s.count()  # eager — supersteps must not pay the build
 
-    store = CheckpointStore(spark, checkpoint_dir, job_name) if checkpoint_dir else None
+    store = (
+        CheckpointStore(
+            spark, checkpoint_dir, job_name, state_version="encoded-long-v2"
+        )
+        if checkpoint_dir
+        else None
+    )
     labels = None
     start_iter = 0
     if store is not None:

@@ -155,7 +155,11 @@ def _pagerank_loop(
         return out
 
     store = (
-        CheckpointStore(spark, checkpoint_dir, job_name) if checkpoint_dir else None
+        CheckpointStore(
+            spark, checkpoint_dir, job_name, state_version="encoded-long-v2"
+        )
+        if checkpoint_dir
+        else None
     )
 
     start_iter = 0

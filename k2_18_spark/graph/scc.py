@@ -27,7 +27,7 @@ Distributed realization:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -258,18 +258,38 @@ def _fwbw_scc(
         remaining = parts.join(scc_rows.select("id"), "id", "left_anti")
         # FW-only → sub-part 0, BW-only → 1, untouched → 2 (disjoint:
         # FW ∩ BW vertices just settled)
-        parts = (
+        branched = (
             remaining.join(fw.withColumn("_f", F.lit(1)), ["part", "id"], "left")
             .join(bw.withColumn("_b", F.lit(1)), ["part", "id"], "left")
             .select(
                 "id",
-                (
-                    F.col("part") * 3
-                    + F.when(F.col("_f") == 1, 0)
-                    .when(F.col("_b") == 1, 1)
-                    .otherwise(2)
-                ).alias("part"),
+                "part",
+                F.when(F.col("_f") == 1, 0)
+                .when(F.col("_b") == 1, 1)
+                .otherwise(2)
+                .alias("branch"),
             )
+        )
+        # re-densify partition ids each round: a part*3+branch encoding
+        # grows 3^round and overflows BIGINT past ~40 rounds (ANSI
+        # ArithmeticException, or silent collisions with ANSI off).
+        # The distinct (part, branch) set is ≤ 3·|active parts| — tiny —
+        # so a single-partition row_number + broadcast-back is cheap.
+        pair_ids = (
+            branched.select("part", "branch")
+            .distinct()
+            .coalesce(1)
+            .select(
+                "part",
+                "branch",
+                (F.row_number().over(Window.orderBy("part", "branch")) - 1)
+                .cast("long")
+                .alias("_newpart"),
+            )
+        )
+        parts = (
+            branched.join(F.broadcast(pair_ids), ["part", "branch"])
+            .select("id", F.col("_newpart").alias("part"))
             .localCheckpoint(eager=True)
         )
         # prune settled vertices' edges so later BFS rounds shrink

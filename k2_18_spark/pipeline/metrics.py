@@ -161,8 +161,20 @@ def run_graph2metrics(
             max_nodes=demo_path_max_nodes,
         )
     )
+    # reference _meta shape (viz/graph2metrics.py:1608-1618): a list of
+    # {id, cluster_id, position} dicts, cluster_id defaulting to 0
+    seq = (
+        course_sequence(nodes)
+        .join(nodes_out.select("id", "cluster_id"), "id", "left")
+        .orderBy("sequence_order")
+        .select(
+            "id",
+            F.coalesce(F.col("cluster_id"), F.lit(0)).alias("cluster_id"),
+            "position",
+        )
+    )
     meta["course_sequence"] = [
-        r["id"]
-        for r in course_sequence(nodes).orderBy("sequence_order").collect()
+        {"id": r["id"], "cluster_id": int(r["cluster_id"]), "position": int(r["position"])}
+        for r in seq.collect()
     ]
     return nodes_out, edges_out, meta

@@ -408,7 +408,11 @@ def _url_offsets(sliced: DataFrame) -> DataFrame:
         .repartitionByRange("source_file")
         .withColumn("pid", F.spark_partition_id())
     )
-    counts = counts.persist()
+    # eager localCheckpoint, not persist: correctness depends on the pid
+    # assignment surviving until the downstream join — a recompute after
+    # executor loss would re-sample repartitionByRange boundaries and
+    # silently shift per-partition offsets (same guard as dense_vertex_ids)
+    counts = counts.localCheckpoint(eager=True)
     part_totals = (
         counts.groupBy("pid").agg(F.sum("cnt").alias("tot")).collect()
     )
@@ -429,9 +433,11 @@ def _url_offsets(sliced: DataFrame) -> DataFrame:
         )
     else:
         mapping = F.lit(None).cast("map<int,long>")
-    return counts.select(
+    offsets = counts.select(
         "source_file",
         (base + F.coalesce(mapping[F.col("pid")], F.lit(0)))
         .cast("long")
         .alias("offset"),
-    )
+    ).localCheckpoint(eager=True)
+    counts.unpersist()  # offsets is materialized; drop the pid blocks
+    return offsets

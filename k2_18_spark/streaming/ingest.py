@@ -73,8 +73,14 @@ def stream_exact_dedup(
     first document per fingerprint inside the watermark horizon
     survives; state for expired fingerprints is dropped by the
     watermark (bounded state — the streaming analogue of
-    dedup.exact_duplicates)."""
-    return features.withWatermark(ts_col, watermark).dropDuplicates(
+    dedup.exact_duplicates).
+
+    Uses ``dropDuplicatesWithinWatermark`` — plain ``dropDuplicates``
+    on a key subset that excludes the event-time column never evicts
+    its state (Spark only ages out state when the watermark column is
+    part of the dedup keys), so it would grow one entry per distinct
+    fingerprint forever."""
+    return features.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["fingerprint"]
     )
 
