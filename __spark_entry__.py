@@ -361,6 +361,58 @@ def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=10, dim=64)
 
 
+def _dedup_map_df(
+    spark: SparkSession, sf_dir: str, candidate_fn=None
+) -> DataFrame:
+    """Composed dedup pipeline (SURVEY §3.3): candidate pairs →
+    master-by-position → union-find clustering (components superstep) →
+    final dedup map with max similarity per duplicate. The documents
+    table plays the Chunk nodes ('d:c:{doc_id}' ids ⇒ position =
+    doc_id), the embeddings table keys by the same ids.
+
+    ``candidate_fn=None`` → exact all-pairs (the oracle-checked
+    correctness path); bench.py passes ``lsh_candidates(dim=64)`` to
+    time the bucketed scale path on the same input."""
+    from k2_18_spark.pipeline.dedup_pipeline import dedup_graph
+
+    docs = _load(spark, sf_dir, "documents")
+    nodes = docs.select(
+        F.concat(F.lit("d:c:"), F.col("doc_id")).alias("id"),
+        F.lit("Chunk").alias("type"),
+        "text",
+    )
+    embeddings = _load(spark, sf_dir, "embeddings").select(
+        F.concat(F.lit("d:c:"), F.col("vec_id")).alias("node_id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    edges = docs.alias("a").join(
+        docs.alias("b"),
+        (F.col("b.doc_id") == F.col("a.doc_id") + 20)
+        & (F.pmod(F.col("a.doc_id"), F.lit(100)) < 80),
+    ).select(
+        F.concat(F.lit("d:c:"), F.col("a.doc_id")).alias("src_id"),
+        F.concat(F.lit("d:c:"), F.col("b.doc_id")).alias("dst_id"),
+        F.lit("PREREQUISITE").alias("edge_type"),
+        F.lit(1.0).alias("weight"),
+    )
+    _, _, dmap, _ = dedup_graph(
+        spark,
+        nodes,
+        edges,
+        embeddings,
+        sim_threshold=0.3,
+        len_ratio_min=0.8,
+        candidate_fn=candidate_fn,
+    )
+    return dmap.select(
+        "duplicate_id", "master_id", F.round("similarity", 6).alias("similarity")
+    )
+
+
+def q_graph_dedup_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup_map_df(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -385,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "emb_topk": q_emb_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
+        "graph_dedup_map": q_graph_dedup_map,
     }
 
 
@@ -757,6 +810,66 @@ def oracle_sql() -> dict[str, str]:
             edges_sql=_DOC_CHAIN_SQL
         ),
         "graph_lpa": _lpa_oracle(_CO_SUPPLIER_SQL),
+        # composed dedup pipeline: pairs → master-by-position → transitive
+        # closure (union-find) → final master = min initial-master else min
+        # id → max similarity per duplicate (k2_18_spark/pipeline/
+        # dedup_pipeline.py, reference src/dedup.py:169-281)
+        "graph_dedup_map": """
+            WITH RECURSIVE
+            e AS MATERIALIZED (
+                SELECT 'd:c:' || d.doc_id AS id, d.doc_id AS pos,
+                       length(d.text) AS tlen, m.embedding::DOUBLE[] AS v
+                FROM documents d
+                JOIN embeddings m ON m.vec_id = d.doc_id
+                WHERE d.text IS NOT NULL AND trim(d.text) <> ''
+            ),
+            pairs AS MATERIALIZED (
+                SELECT CASE WHEN a.pos < b.pos OR (a.pos = b.pos AND a.id < b.id)
+                            THEN a.id ELSE b.id END AS master_id,
+                       CASE WHEN a.pos < b.pos OR (a.pos = b.pos AND a.id < b.id)
+                            THEN b.id ELSE a.id END AS duplicate_id,
+                       list_cosine_similarity(a.v, b.v) AS similarity
+                FROM e a JOIN e b ON a.id < b.id
+                WHERE LEAST(a.tlen, b.tlen)
+                      / CAST(GREATEST(a.tlen, b.tlen) AS DOUBLE) >= 0.8
+                  AND list_cosine_similarity(a.v, b.v) >= 0.3
+            ),
+            und AS MATERIALIZED (
+                SELECT master_id AS a, duplicate_id AS b FROM pairs
+                UNION SELECT duplicate_id, master_id FROM pairs
+            ),
+            reach(id, lbl) AS (
+                SELECT a, a FROM und
+                UNION
+                SELECT u.b, r.lbl FROM reach r JOIN und u ON r.id = u.a
+            ),
+            comp AS (SELECT id, MIN(lbl) AS ckey FROM reach GROUP BY id),
+            dups AS (SELECT DISTINCT duplicate_id AS id FROM pairs),
+            initial_masters AS (
+                SELECT DISTINCT master_id AS id FROM pairs
+                WHERE master_id NOT IN (SELECT id FROM dups)
+            ),
+            finals AS (
+                SELECT c.ckey,
+                       COALESCE(
+                           MIN(c.id) FILTER (
+                               WHERE c.id IN (SELECT id FROM initial_masters)),
+                           MIN(c.id)
+                       ) AS final_master
+                FROM comp c GROUP BY c.ckey
+            ),
+            dmap AS (
+                SELECT c.id AS duplicate_id, f.final_master AS master_id
+                FROM comp c JOIN finals f ON c.ckey = f.ckey
+                WHERE c.id <> f.final_master
+            ),
+            sims AS (
+                SELECT duplicate_id, MAX(similarity) AS s
+                FROM pairs GROUP BY 1
+            )
+            SELECT m.duplicate_id, m.master_id, ROUND(sims.s, 6) AS similarity
+            FROM dmap m LEFT JOIN sims USING (duplicate_id)
+        """,
         "doc_minhash_pairs": _minhash_oracle(),
         "doc_simhash_pairs": _simhash_oracle(),
         "emb_lsh_topk": _lsh_topk_oracle(),

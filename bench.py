@@ -162,6 +162,48 @@ def main() -> None:
     timed("pricing_summary", lambda: q["pricing_summary"](spark, sf_dir).count())
     timed("co_supplier_pagerank", lambda: q["graph_pagerank"](spark, sf_dir).count())
 
+    # -- embedding-dedup end-to-end on planted near-dup clusters
+    # (synth.embedding_table: the sf embeddings have no cosine>0.6 pairs,
+    # so dedup at a realistic 0.85 threshold needs planted structure).
+    # The per-round entry uses the bucketed LSH candidate path;
+    # BENCH_DEDUP_EXACT=1 additionally times the O(n²) crossJoin path on
+    # the SAME input (one-time comparison recorded in BASELINE.md).
+    from k2_18_spark.io.synth import embedding_table
+    from k2_18_spark.pipeline.dedup_pipeline import (
+        dedup_graph,
+        lsh_candidates,
+    )
+
+    dedup_n = int(os.environ.get("BENCH_DEDUP_N", max(2000, int(200_000 * sf))))
+    demb = embedding_table(spark, dedup_n, dim=64, cluster_size=10).persist()
+    dnodes = demb.select(
+        F.col("node_id").alias("id"),
+        F.lit("Chunk").alias("type"),
+        F.lit("synthetic document body for the dedup benchmark").alias("text"),
+    ).persist()
+    dedges = spark.createDataFrame(
+        [], "src_id string, dst_id string, edge_type string, weight double"
+    )
+    demb.count(), dnodes.count()
+
+    def run_dedup(candidate_fn):
+        _, _, dmap, _ = dedup_graph(
+            spark, dnodes, dedges, demb, sim_threshold=0.85,
+            candidate_fn=candidate_fn,
+        )
+        return dmap.count()
+
+    # planes=12/tables=4: 17999/18000 of the exact path's map rows at
+    # 20k docs in 18.8s vs the crossJoin's 450s (planes=10/tables=6
+    # recovers all 18000 at 24.3s) — see BASELINE.md
+    extras["dedup_lsh_map_rows"] = timed(
+        "dedup_lsh",
+        lambda: run_dedup(lsh_candidates(dim=64, n_planes=12, n_tables=4)),
+    )
+    extras["dedup_n_docs"] = dedup_n
+    if os.environ.get("BENCH_DEDUP_EXACT", "0") == "1":
+        extras["dedup_exact_map_rows"] = timed("dedup_exact", lambda: run_dedup(None))
+
     total = round(sum(timings.values()), 3)
     # PageRank throughput = iterations × |E| / seconds
     if pr_iterations:

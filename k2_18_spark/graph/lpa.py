@@ -155,8 +155,50 @@ def _lpa_loop(
             F.col("ord").alias("id"), F.col("ord").alias("label")
         ).localCheckpoint(eager=True)
 
+    # changed-label frontier state: the encoded ids that changed in the
+    # two most recent iterations (None until recorded — resume restarts
+    # with two full-vote rounds, which is always correct, just slower)
+    changed_dfs: dict[int, DataFrame] = {}
+    changed_cnts: dict[int, int] = {}
+    # don't broadcast frontiers beyond this many vertices (the gate that
+    # keeps the optimization safe at 10^9-vertex scale)
+    max_frontier_broadcast = min(max(n // 4, 1), 4_000_000)
+
     prev_changed = None
     for it in range(start_iter, max_iter):
+        # CHANGED-LABEL FRONTIER: an active vertex's argmax can only
+        # differ from its previous vote (two iterations ago, same
+        # parity) if ≥1 neighbor changed label in iteration it-1 or
+        # it-2 — identical vote multiset ⇒ identical argmax incl.
+        # tie-break, so skipping it cannot alter the trajectory. Late
+        # rounds' vote joins collapse to the few edges around still-
+        # moving labels instead of the full |E|/2 half-table.
+        active_edges = sym_by_par[it % 2]
+        c1, c2 = changed_dfs.get(it - 1), changed_dfs.get(it - 2)
+        if (
+            it >= start_iter + 2
+            and it >= 2
+            and c1 is not None
+            and c2 is not None
+            and (changed_cnts[it - 1] + changed_cnts[it - 2])
+            < max_frontier_broadcast
+        ):
+            moved = c1.unionByName(c2).distinct()
+            frontier = (
+                active_edges.join(
+                    F.broadcast(moved.withColumnRenamed("id", "nbr")), "nbr"
+                )
+                .select("v")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if frontier.count() < max_frontier_broadcast:
+                # scan of the persisted half + broadcast semi-filter —
+                # no shuffle on the edge side
+                active_edges = active_edges.join(F.broadcast(frontier), "v")
+            # else: hub-dense frontier — full vote is cheaper than a
+            # giant broadcast; correctness unaffected either way
+
         # neighbor label weights: vote(v, label) = Σ weight of edges to
         # neighbors currently holding `label`, computed ONLY for this
         # round's active parity class (the filter hits the persisted
@@ -169,7 +211,7 @@ def _lpa_loop(
         if vote_round is not None:
             w_sum = F.round(w_sum, vote_round)
         votes = (
-            sym_by_par[it % 2]
+            active_edges
             .join(
                 labels.select(F.col("id").alias("nbr"), "label").hint(
                     "shuffle_hash"
@@ -204,12 +246,17 @@ def _lpa_loop(
             new_labels = store.save_state(it, new_labels, rows_in=n)
         else:
             new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.agg(
-                F.sum((F.col("label") != F.col("old_label")).cast("long"))
-            ).collect()[0][0]
-            or 0
+        changed_df = (
+            new_labels.filter(F.col("label") != F.col("old_label"))
+            .select("id")
+            .localCheckpoint(eager=True)
         )
+        changed = changed_df.count()
+        changed_dfs[it] = changed_df
+        changed_cnts[it] = changed
+        stale = changed_dfs.pop(it - 2, None)  # only last two rounds matter
+        if stale is not None:
+            stale.unpersist()
         labels = new_labels.select("id", "label")
         # converged when a full even+odd cycle changes nothing
         if changed == 0 and prev_changed == 0:

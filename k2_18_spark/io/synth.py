@@ -55,6 +55,47 @@ def vertex_table(spark: SparkSession, num_vertices: int) -> DataFrame:
     )
 
 
+def embedding_table(
+    spark: SparkSession,
+    num_vectors: int,
+    dim: int = 64,
+    cluster_size: int = 10,
+    eps: float = 0.1,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic clustered unit vectors → (node_id, vector) with
+    PLANTED near-duplicates: members of cluster ``id // cluster_size``
+    share a random center plus ``eps``-scaled noise, giving
+    within-cluster cosine ≈ 1/(1+eps²) (~0.99 at eps=0.1) and
+    cross-cluster cosine ≈ 0 — the structure embedding-dedup benchmarks
+    need (the sf parquet embeddings have no pairs above cosine 0.6).
+    Pure column expressions over ``range``; same (n, dim, seed) →
+    identical table at any parallelism."""
+
+    def unit(*cols):  # uniform [-1, 1)
+        return (
+            F.pmod(F.xxhash64(*cols), F.lit(_U_MOD)) / float(_U_MOD)
+        ) * 2.0 - 1.0
+
+    base = spark.range(
+        0, num_vectors, 1, num_partitions or spark.sparkContext.defaultParallelism
+    )
+    c = (F.col("id") / cluster_size).cast("long")
+    js = F.sequence(F.lit(0), F.lit(dim - 1))
+    raw = F.transform(
+        js,
+        lambda j: unit(c, j, F.lit(seed)) + eps * unit(F.col("id"), j, F.lit(seed + 1)),
+    )
+    stepped = base.withColumn("raw", raw).withColumn(
+        "norm", F.sqrt(F.aggregate("raw", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    return stepped.select(
+        F.concat(F.lit("e:c:"), F.col("id")).alias("node_id"),
+        F.transform("raw", lambda x: x / F.col("norm")).alias("vector"),
+    )
+
+
 # -- Common-Crawl-style pages (FIXTURES.md §1) --------------------------------
 
 _WORDS_EN = (

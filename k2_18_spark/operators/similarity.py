@@ -73,6 +73,75 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return out
 
 
+def hyperplane_candidate_pairs(
+    vectors: DataFrame,
+    dim: int,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Bucketed candidate generation for a similarity SELF-join:
+    → (id_a, id_b) with id_a < id_b, distinct across tables.
+
+    Each table hashes every vector to an ``n_planes``-bit
+    random-hyperplane signature; only rows sharing a bucket in ≥1 table
+    become candidates. Work is O(Σ bucket²) instead of the all-pairs
+    O(n²) crossJoin — the scale path the reference gets from its FAISS
+    index (src/dedup.py:152-166). Oversized buckets are dropped WITH a
+    logged warning (no-silent-caps), same contract as minhash_lsh_pairs.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from k2_18_spark.operators.dedup import _cap_buckets
+
+    # ALL tables' signatures in one vectorized pass: a numpy matmul
+    # against the stacked (tables × planes, dim) plane matrix inside an
+    # Arrow-batched pandas UDF. Column-expression hyperplane signatures
+    # (n_tables × n_planes zip_with/aggregate trees over literal
+    # arrays) choke janino codegen and fall back to per-element
+    # interpretation — the matmul is both the fast AND the scalable
+    # form. Candidate generation only needs internal consistency (both
+    # sides of the self-join hash identically); every candidate is
+    # exact-scored downstream, so this does not need to match
+    # _rh_bucket bit-for-bit.
+    flat = np.array(
+        [
+            row
+            for t in range(n_tables)
+            for row in _planes(dim, n_planes, seed=42 + 1000 * t)
+        ]
+    )  # (n_tables * n_planes, dim)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def _buckets(vs):
+        A = np.stack(vs.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (A @ flat.T) >= 0.0  # (n, T*P)
+        bits = bits.reshape(len(A), n_tables, n_planes)
+        return pd.Series(list(bits @ weights))  # (n, T) bucket ids
+
+    # real annotation objects: `from __future__ import annotations` turns
+    # inline hints into strings the UDF type inferrer cannot resolve
+    _buckets.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    table_buckets = pandas_udf(_buckets, "array<long>")
+
+    v = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    b = v.select(
+        "_id", F.posexplode(table_buckets(F.col("_v"))).alias("tbl", "bucket")
+    )
+    b = _cap_buckets(b, ["tbl", "bucket"], max_bucket_size, "hyperplane_pairs")
+    return (
+        b.alias("x")
+        .join(b.alias("y"), ["tbl", "bucket"])
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .distinct()
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

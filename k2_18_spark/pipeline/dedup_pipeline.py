@@ -45,38 +45,92 @@ def filter_dedup_nodes(nodes: DataFrame) -> DataFrame:
     )
 
 
+def exact_candidates(vectors: DataFrame) -> DataFrame:
+    """All-pairs candidate generation → (id_a, id_b), id_a < id_b.
+
+    O(n²) crossJoin — the fixture-scale parity path (the reference's
+    FAISS exact search sees every pair too, src/dedup.py:169-228).
+    NOT for large inputs: pass ``lsh_candidates(...)`` instead.
+
+    The left side is repartitioned first: a crossJoin of two small
+    inputs otherwise runs as a SINGLE-partition nested-loop task and
+    serializes the whole O(n²) scoring onto one core."""
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    a = vectors.select(F.col("id").alias("id_a")).repartition(max(par * 2, 8))
+    b = vectors.select(F.col("id").alias("id_b"))
+    return a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+
+
+def lsh_candidates(
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    max_bucket_size: int | None = 10_000,
+):
+    """Candidate-fn factory: bucketed hyperplane-LSH pair generation
+    (operators/similarity.hyperplane_candidate_pairs) — the 100 TB
+    path. Work is O(Σ bucket²), never all-pairs; recall is tunable via
+    (n_planes, n_tables) and verified superset-of-exact on fixtures in
+    tests/test_upsert_dedup.py."""
+    from k2_18_spark.operators.similarity import hyperplane_candidate_pairs
+
+    def gen(vectors: DataFrame) -> DataFrame:
+        return hyperplane_candidate_pairs(
+            vectors,
+            dim=dim,
+            id_col="id",
+            vec_col="vector",
+            n_planes=n_planes,
+            n_tables=n_tables,
+            max_bucket_size=max_bucket_size,
+        )
+
+    return gen
+
+
 def find_duplicate_pairs(
     nodes: DataFrame,
     embeddings: DataFrame,
     sim_threshold: float = 0.85,
     len_ratio_min: float = 0.8,
+    candidate_fn=None,
 ) -> DataFrame:
     """J4 → (master_id, duplicate_id, similarity).
 
     ``embeddings``: (node_id, vector) — L2-normalized, cosine = dot.
     Master choice: lower position, ties by lower id (reference
-    src/dedup.py:208-221)."""
+    src/dedup.py:208-221).
+
+    ``candidate_fn``: (id, vector) DataFrame → (id_a, id_b) candidate
+    pairs with id_a < id_b. Defaults to ``exact_candidates`` (all
+    pairs — fixture parity); pass ``lsh_candidates(dim=...)`` for the
+    bucketed O(Σ bucket²) scale path. Every candidate is exact-scored,
+    so a candidate_fn can only lose pairs (recall), never corrupt the
+    kept ones (precision is exact either way)."""
     cand = filter_dedup_nodes(nodes).select(
         "id", "pos", F.length("text").alias("tlen")
     )
     e = cand.join(
         embeddings.select(F.col("node_id").alias("id"), "vector"), "id"
     )
-    a = e.select(
+    gen = candidate_fn or exact_candidates
+    id_pairs = gen(e.select("id", "vector"))
+
+    attrs_a = e.select(
         F.col("id").alias("id_a"),
         F.col("pos").alias("pos_a"),
         F.col("tlen").alias("len_a"),
         F.col("vector").alias("va"),
     )
-    b = e.select(
+    attrs_b = e.select(
         F.col("id").alias("id_b"),
         F.col("pos").alias("pos_b"),
         F.col("tlen").alias("len_b"),
         F.col("vector").alias("vb"),
     )
     pairs = (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
+        id_pairs.join(attrs_a, "id_a")
+        .join(attrs_b, "id_b")
         .withColumn(
             "len_ratio",
             F.least("len_a", "len_b") / F.greatest("len_a", "len_b"),
@@ -97,10 +151,52 @@ def find_duplicate_pairs(
     )
 
 
-def build_dedup_map(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+def build_dedup_map(
+    spark: SparkSession, pairs: DataFrame, max_collect: int = 2_000_000
+) -> DataFrame:
     """G11 → (duplicate_id, master_id). Final master per cluster = min
     id among the pairs' initial masters, else min id overall
-    (reference src/dedup.py:258-278)."""
+    (reference src/dedup.py:258-278).
+
+    Two tiers, identical output: pair graphs up to ``max_collect`` rows
+    run driver-side union-find with path compression (the reference's
+    own algorithm, src/dedup.py:59-99 — duplicate-pair graphs are tiny
+    relative to the corpus even at crawl scale); larger ones run the
+    distributed components superstep. The count is checked BEFORE any
+    collect."""
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return spark.createDataFrame([], "duplicate_id string, master_id string")
+    if n_pairs <= max_collect:
+        rows = pairs.select("master_id", "duplicate_id").collect()
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            a, b = find(r["master_id"]), find(r["duplicate_id"])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        clusters: dict[str, set[str]] = {}
+        for r in rows:
+            for v in (r["master_id"], r["duplicate_id"]):
+                clusters.setdefault(find(v), set()).add(v)
+        dups = {r["duplicate_id"] for r in rows}
+        out = []
+        for members in clusters.values():
+            initial = {m for m in members if m not in dups}
+            master = min(initial) if initial else min(members)
+            out.extend((m, master) for m in members if m != master)
+        return spark.createDataFrame(
+            sorted(out), "duplicate_id string, master_id string"
+        )
+
     from k2_18_spark.graph.components import connected_components
 
     edges = pairs.select(
@@ -139,8 +235,12 @@ def dedup_graph(
     sim_threshold: float = 0.85,
     len_ratio_min: float = 0.8,
     validate: bool = False,
+    candidate_fn=None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
     """→ (nodes_out, edges_out, dedup_map, stats).
+
+    ``candidate_fn``: see find_duplicate_pairs — None = exact all-pairs
+    (fixture parity), ``lsh_candidates(dim=...)`` = bucketed scale path.
 
     ``validate=True`` runs the stage-boundary invariant validator on the
     output graph (the reference validates after every stage —
@@ -149,7 +249,13 @@ def dedup_graph(
     nodes_before = nodes.count()
     edges_before = edges.count()
 
-    pairs = find_duplicate_pairs(nodes, embeddings, sim_threshold, len_ratio_min)
+    # eager materialization: pairs feed build_dedup_map (count + maybe
+    # collect), the similarity join below, AND implicitly every stats
+    # count — without it the whole candidate-generation + scoring plan
+    # re-executes per downstream action (measured 4-5× end-to-end cost)
+    pairs = find_duplicate_pairs(
+        nodes, embeddings, sim_threshold, len_ratio_min, candidate_fn=candidate_fn
+    ).localCheckpoint(eager=True)
     dedup_map = build_dedup_map(spark, pairs).cache()
 
     # remove duplicate nodes; also drop Chunk/Assessment with blank text (P5)

@@ -26,9 +26,20 @@ def candidate_pairs(
     sim_threshold: float = 0.75,
     max_pairs_per_node: int = 20,
     direction: str = "forward",
+    candidate_fn=None,
 ) -> DataFrame:
     """→ (source_id, target_id, similarity), position-ordered, top-k
-    per source."""
+    per source.
+
+    ``candidate_fn``: (id, vector) DataFrame → (id_a, id_b) unordered
+    candidate pairs with id_a < id_b (same contract as
+    dedup_pipeline.find_duplicate_pairs). None = all pairs (fixture
+    parity — the reference uses FAISS k-NN here precisely to avoid
+    all-pairs, src/refiner_longrange.py:473-600); pass
+    ``dedup_pipeline.lsh_candidates(dim=...)`` for the bucketed scale
+    path. Orientation (source = earlier position for the forward pass,
+    later for backward) is applied AFTER candidate generation, so both
+    passes share one candidate set."""
     c = (
         nodes.filter(
             (F.col("type") == "Chunk")
@@ -39,23 +50,35 @@ def candidate_pairs(
         .select("id", "pos")
         .join(embeddings.select(F.col("node_id").alias("id"), "vector"), "id")
     )
+    if candidate_fn is None:
+        from k2_18_spark.pipeline.dedup_pipeline import exact_candidates
+
+        candidate_fn = exact_candidates
+    id_pairs = candidate_fn(c.select("id", "vector"))
+
     a = c.select(
-        F.col("id").alias("source_id"), F.col("pos").alias("pos_a"), F.col("vector").alias("va")
+        F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), F.col("vector").alias("va")
     )
     b = c.select(
-        F.col("id").alias("target_id"), F.col("pos").alias("pos_b"), F.col("vector").alias("vb")
+        F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), F.col("vector").alias("vb")
     )
-    order_pred = (
+    scored = (
+        id_pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("pos_a") != F.col("pos_b"))
+        .withColumn("similarity", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("similarity") >= sim_threshold)
+    )
+    # candidate pairs are unordered (id_a < id_b); orient by position
+    a_first = (
         F.col("pos_a") < F.col("pos_b")
         if direction == "forward"
         else F.col("pos_a") > F.col("pos_b")
     )
-    pairs = (
-        a.crossJoin(b)
-        .filter(order_pred)
-        .withColumn("similarity", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("similarity") >= sim_threshold)
-        .select("source_id", "target_id", "similarity")
+    pairs = scored.select(
+        F.when(a_first, F.col("id_a")).otherwise(F.col("id_b")).alias("source_id"),
+        F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias("target_id"),
+        "similarity",
     )
     return top_k_per_group(
         pairs, "source_id", "similarity", max_pairs_per_node, tiebreak_col="target_id"

@@ -168,3 +168,132 @@ def test_build_dedup_map_transitive_cluster(spark):
     }
     # cluster {a,b,c}: only 'a' never appears as duplicate → master
     assert got == {"b": "a", "c": "a", "y": "x"}
+
+
+# -- LSH candidate path (VERDICT r02 task 1) ------------------------------
+
+
+def _clustered_corpus(spark, n_clusters=8, per=5, dim=16):
+    """Deterministic clustered embeddings: per-cluster near-identical
+    vectors (cos ≈ 0.9997 within, ≈ 0 across) — every within-cluster
+    pair clears threshold 0.85, nothing else does."""
+    import math as m
+
+    nodes_rows, emb_rows = [], []
+    idx = 0
+    for c in range(n_clusters):
+        for j in range(per):
+            nid = f"s:c:{idx}"
+            v = [0.0] * dim
+            v[c] = 1.0
+            v[(c + j + 1) % dim] += 0.01 * (j + 1)
+            norm = m.sqrt(sum(x * x for x in v))
+            nodes_rows.append((nid, "Chunk", "body " + "x" * 40))
+            emb_rows.append((nid, [x / norm for x in v]))
+            idx += 1
+    nodes = spark.createDataFrame(nodes_rows, "id string, type string, text string")
+    emb = spark.createDataFrame(emb_rows, "node_id string, vector array<double>")
+    return nodes, emb
+
+
+def test_lsh_candidates_match_exact_pairs_and_map(spark):
+    """The bucketed LSH candidate path must recover every pair the
+    exact all-pairs path finds at threshold 0.85 on fixture-scale
+    clustered data (deterministic planes → deterministic result), and
+    feed build_dedup_map to the identical dedup map."""
+    from k2_18_spark.pipeline.dedup_pipeline import lsh_candidates
+
+    nodes, emb = _clustered_corpus(spark, dim=16)
+    exact = find_duplicate_pairs(nodes, emb, sim_threshold=0.85)
+    lsh = find_duplicate_pairs(
+        nodes,
+        emb,
+        sim_threshold=0.85,
+        candidate_fn=lsh_candidates(dim=16, n_planes=6, n_tables=10),
+    )
+    key = lambda r: (r["master_id"], r["duplicate_id"], round(r["similarity"], 9))
+    exact_set = {key(r) for r in exact.collect()}
+    lsh_set = {key(r) for r in lsh.collect()}
+    assert exact_set  # 8 clusters × C(5,2) = 80 pairs
+    assert len(exact_set) == 80
+    assert lsh_set >= exact_set  # full recall on fixtures
+    assert lsh_set == exact_set  # precision is exact by construction
+
+    m_exact = {
+        (r["duplicate_id"], r["master_id"])
+        for r in build_dedup_map(spark, exact).collect()
+    }
+    m_lsh = {
+        (r["duplicate_id"], r["master_id"])
+        for r in build_dedup_map(spark, lsh).collect()
+    }
+    assert m_lsh >= m_exact and m_lsh == m_exact
+    # 8 clusters of 5 → 32 duplicates, master = min-position member
+    assert len(m_exact) == 32
+
+
+def test_dedup_graph_lsh_path_end_to_end(spark):
+    """dedup_graph(candidate_fn=lsh_candidates(...)) produces the same
+    outputs as the default exact path on the mini corpus."""
+    from k2_18_spark.pipeline.dedup_pipeline import lsh_candidates
+
+    nodes, edges, emb = _mini_corpus(spark)
+    n1, e1, map1, s1 = dedup_graph(spark, nodes, edges, emb)
+    n2, e2, map2, s2 = dedup_graph(
+        spark,
+        nodes,
+        edges,
+        emb,
+        candidate_fn=lsh_candidates(dim=3, n_planes=4, n_tables=6),
+    )
+    assert {r["id"] for r in n1.collect()} == {r["id"] for r in n2.collect()}
+    assert {tuple(r) for r in e1.collect()} == {tuple(r) for r in e2.collect()}
+    assert {tuple(r) for r in map1.collect()} == {tuple(r) for r in map2.collect()}
+    assert s1["duplicates_removed"] == s2["duplicates_removed"] == 1
+
+
+def test_refiner_lsh_candidates_match_exact(spark):
+    """refiner.candidate_pairs with the LSH candidate_fn returns the
+    same top-k forward/backward candidates as the all-pairs path."""
+    from k2_18_spark.pipeline.dedup_pipeline import lsh_candidates
+    from k2_18_spark.pipeline.refiner import candidate_pairs
+
+    nodes, emb = _clustered_corpus(spark, dim=16)
+    for direction in ("forward", "backward"):
+        exact = candidate_pairs(
+            nodes, emb, sim_threshold=0.85, direction=direction
+        )
+        lsh = candidate_pairs(
+            nodes,
+            emb,
+            sim_threshold=0.85,
+            direction=direction,
+            candidate_fn=lsh_candidates(dim=16, n_planes=6, n_tables=10),
+        )
+        key = lambda r: (
+            r["source_id"], r["target_id"], round(r["similarity"], 9)
+        )
+        assert {key(r) for r in exact.collect()} == {key(r) for r in lsh.collect()}
+
+
+def test_build_dedup_map_tiers_agree(spark):
+    """Driver union-find tier and distributed components tier produce
+    the identical dedup map (max_collect=0 forces the superstep path)."""
+    pairs = spark.createDataFrame(
+        [
+            ("a", "b", 0.9),
+            ("b", "c", 0.9),
+            ("x", "y", 0.95),
+            ("m", "n", 0.88),
+            ("n", "o", 0.87),
+            ("o", "p", 0.91),
+        ],
+        "master_id string, duplicate_id string, similarity double",
+    )
+    fast = {tuple(r) for r in build_dedup_map(spark, pairs).collect()}
+    dist = {
+        tuple(r) for r in build_dedup_map(spark, pairs, max_collect=0).collect()
+    }
+    assert fast == dist
+    assert fast == {("b", "a"), ("c", "a"), ("y", "x"),
+                    ("n", "m"), ("o", "m"), ("p", "m")}
