@@ -42,9 +42,19 @@ def compute_all_metrics(
     checkpoint_dir: str | None = None,
     betweenness_sample_k: int | None = None,
     bridge_weight_betweenness: float = 0.7,
+    louvain_max_nodes: int = 1000,
+    louvain_resolution: float = 1.2,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """nodes/edges → (nodes+12 metrics, edges+inverse_weight+cluster
-    marks, summary)."""
+    marks, summary).
+
+    Clustering is two-tier like the reference's practical envelope:
+    graphs up to ``louvain_max_nodes`` run the reference's exact
+    algorithm (driver-side Louvain, resolution/random_state semantics
+    of viz/graph2metrics.py:417-511 — the reference itself caps at
+    ~5000 nodes); larger graphs run distributed LPA (the documented
+    web-scale substitution, SURVEY §7). ``louvain_max_nodes=0``
+    forces LPA everywhere."""
     nodes = nodes.cache()
     edges = edges.cache()
 
@@ -74,9 +84,17 @@ def compute_all_metrics(
     edu = educational_importance(
         spark, edges, nodes=nodes, checkpoint_dir=checkpoint_dir
     ).withColumnRenamed("rank", "educational_importance")
-    clusters = label_propagation(
-        spark, edges, nodes=nodes, checkpoint_dir=checkpoint_dir
-    )
+    n_nodes = nodes.count()
+    if n_nodes <= louvain_max_nodes:
+        from k2_18_spark.graph.louvain import louvain_clustering
+
+        clusters = louvain_clustering(
+            spark, edges, nodes=nodes, resolution=louvain_resolution
+        )
+    else:
+        clusters = label_propagation(
+            spark, edges, nodes=nodes, checkpoint_dir=checkpoint_dir
+        )
 
     bridge = bridge_scores(
         edges,
@@ -118,7 +136,7 @@ def compute_all_metrics(
     pr_sum = pr.agg(F.sum("pagerank")).collect()[0][0] or 0.0
     edu_sum = edu.agg(F.sum("educational_importance")).collect()[0][0] or 0.0
     summary = {
-        "nodes": nodes.count(),
+        "nodes": n_nodes,
         "edges": edges.count(),
         "pagerank_sum": pr_sum,
         "educational_importance_sum": edu_sum,
