@@ -109,6 +109,20 @@ def main() -> None:
     from k2_18_spark.graph.pagerank import pagerank
     from k2_18_spark.graph.triangles import triangle_count
 
+    # JIT warmup (excluded from timings): one tiny end-to-end pass so the
+    # timed queries measure steady-state codegen'd execution, not
+    # first-call class-loading/JIT — the state a long-running cluster's
+    # executors are in. BENCH_WARMUP=0 disables; the JSON records it.
+    warmup = os.environ.get("BENCH_WARMUP", "1") == "1"
+    if warmup:
+        w_edges = powerlaw_edges(spark, 2000, 20_000).persist()
+        w_nodes = vertex_table(spark, 2000).persist()
+        pagerank(spark, w_edges, nodes=w_nodes).count()
+        connected_components(spark, w_edges, nodes=w_nodes).count()
+        label_propagation(spark, w_edges, nodes=w_nodes, max_iter=2).count()
+        triangle_count(spark, w_edges)
+        w_edges.unpersist(), w_nodes.unpersist()
+
     ckpt_dir = tempfile.mkdtemp(prefix="bench_ckpt_") if use_ckpt else None
 
     # adjacency prep measured separately (one-time cost, reused per loop)
@@ -152,6 +166,12 @@ def main() -> None:
                 spark, edges, nodes=nodes, sample_k=64
             ).count(),
         )
+
+    # graph section done — release its caches so the data-pipeline
+    # queries below aren't fighting them for executor memory
+    adj.unpersist()
+    edges.unpersist()
+    nodes.unpersist()
 
     # -- data-pipeline queries on the sf parquet tables
     import __spark_entry__ as entry_mod
@@ -203,6 +223,8 @@ def main() -> None:
     extras["dedup_n_docs"] = dedup_n
     if os.environ.get("BENCH_DEDUP_EXACT", "0") == "1":
         extras["dedup_exact_map_rows"] = timed("dedup_exact", lambda: run_dedup(None))
+    demb.unpersist()
+    dnodes.unpersist()
 
     total = round(sum(timings.values()), 3)
     # PageRank throughput = iterations × |E| / seconds
@@ -228,6 +250,7 @@ def main() -> None:
         "graph_vertices": num_v,
         "graph_edges": edge_count,
         "checkpointing": bool(ckpt_dir),
+        "jit_warmup": warmup,
         "shuffle_mb": shuffle_mb,
         **extras,
     }

@@ -45,18 +45,28 @@ def _collapse_multi(edges: DataFrame) -> DataFrame:
     """One row per (src,dst): last by ``edge_order`` when present, else a
     DETERMINISTIC tie-break over the remaining columns (desc weight, then
     desc on everything else) — ``dropDuplicates`` would keep an arbitrary
-    row, making PageRank on a multigraph vary across runs/partitionings."""
+    row, making PageRank on a multigraph vary across runs/partitionings.
+
+    Implemented as ``max(struct(...))`` — a HASH aggregate with map-side
+    partial combine — instead of a row_number window: same row selected
+    (struct comparison is lexicographic with nulls low, i.e. the window's
+    desc_nulls_last), but no per-partition sort and parallel edges
+    collapse before the exchange instead of after it."""
+    rest = [c for c in edges.columns if c not in ("src_id", "dst_id")]
     if "edge_order" in edges.columns:
-        order = [F.col("edge_order").desc()]
-        drop = ["_rn", "edge_order"]
+        keep = [c for c in rest if c != "edge_order"]
+        ordered = ["edge_order"] + keep
     else:
-        rest = [c for c in edges.columns if c not in ("src_id", "dst_id")]
-        order = [F.col(c).desc_nulls_last() for c in rest]
-        drop = ["_rn"]
-        if not order:  # bare (src,dst) pairs — already collapse-invariant
+        keep = rest
+        ordered = rest
+        if not ordered:  # bare (src,dst) pairs — already collapse-invariant
             return edges.dropDuplicates(["src_id", "dst_id"])
-    w = F.row_number().over(Window.partitionBy("src_id", "dst_id").orderBy(*order))
-    return edges.withColumn("_rn", w).filter(F.col("_rn") == 1).drop(*drop)
+    agg = edges.groupBy("src_id", "dst_id").agg(
+        F.max(F.struct(*[F.col(c) for c in ordered])).alias("_m")
+    )
+    return agg.select(
+        "src_id", "dst_id", *[F.col(f"_m.{c}").alias(c) for c in keep]
+    )
 
 
 def vertex_ids(edges: DataFrame, nodes: DataFrame | None) -> DataFrame:
@@ -184,13 +194,9 @@ def _build_adjacency(
     ))
     if encode == "hash":
         vb = vertex_ids(edges, nodes)
-        stats = vb.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct(F.xxhash64("id")).alias("nd"),
-        ).collect()[0]
-        if stats["n"] != stats["nd"]:
-            # 64-bit collision — fall back to join-based dense encoding
-            return _build_adjacency(edges, nodes, num_partitions, hub_top_k, "dense")
+        # injectivity of the xxhash64 encoding is verified LATER, fused
+        # into the verts aggregate (count vs countDistinct in the same
+        # pass) — one |V| action instead of two
         vmap_dec = vb.select(F.col("id").alias("orig_id"), F.xxhash64("id").alias("id"))
         raw = raw.select(
             F.xxhash64("src_id").alias("src_id"),
@@ -220,26 +226,29 @@ def _build_adjacency(
     collapsed = _collapse_multi(raw).withColumn(
         "weight", F.coalesce(F.col("weight"), F.lit(1.0))
     )
-    # build-scoped cache: every action below (edge materialization, vertex
-    # join, hub stats, hub split) reuses the collapse instead of replaying
-    # the 15M-row dedup lineage per action
+    # build-scoped cache: the collapse feeds both the edge
+    # materialization and the per-src aggregate below
     collapsed = collapsed.persist(StorageLevel.MEMORY_AND_DISK)
 
-    out_w = collapsed.groupBy("src_id").agg(
-        F.sum("weight").alias("out_wsum"), F.count(F.lit(1)).alias("out_deg")
-    )
-    # minimal row width for the per-superstep join: (src_id, dst_id, frac)
+    # frac via a window-sum over the EXISTING src partitioning: the
+    # window's clustering requirement is satisfied by the repartition
+    # above (subset rule) and an unordered frame needs no sort, so this
+    # replaces the old groupBy + |E|-row normalization join with a
+    # second pass over the same partitions — one fewer |E| join at build
+    wsrc = Window.partitionBy("src_id")
     e = (
-        collapsed.join(
-            out_w.select("src_id", "out_wsum").hint("shuffle_hash"), "src_id"
-        )
-        .select(
-            "src_id", "dst_id", (F.col("weight") / F.col("out_wsum")).alias("frac")
+        collapsed.select(
+            "src_id",
+            "dst_id",
+            (F.col("weight") / F.sum("weight").over(wsrc)).alias("frac"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e.count()  # materialize now — supersteps must not pay the build
 
+    out_w = collapsed.groupBy("src_id").agg(
+        F.sum("weight").alias("out_wsum"), F.count(F.lit(1)).alias("out_deg")
+    )
     verts = (
         vmap_dec
         .join(out_w.withColumnRenamed("src_id", "id"), "id", "left")
@@ -252,7 +261,20 @@ def _build_adjacency(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n = verts.count()
+    if encode == "hash":
+        # fused injectivity check: one aggregate gives |V| AND the
+        # distinct encoded-id count; mismatch = 64-bit collision →
+        # rebuild with join-based dense encoding
+        vstats = verts.agg(
+            F.count(F.lit(1)).alias("n"), F.countDistinct("id").alias("nd")
+        ).collect()[0]
+        n = vstats["n"]
+        if n != vstats["nd"]:
+            for df in (e, verts, collapsed):
+                df.unpersist()
+            return _build_adjacency(edges, nodes, num_partitions, hub_top_k, "dense")
+    else:
+        n = verts.count()
 
     hub_ids: list = []
     edges_hub = edges_tail = None

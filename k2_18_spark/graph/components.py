@@ -147,6 +147,7 @@ def _components_loop(
                 F.col("old_label"),
             )
         )
+        prev_state = labels
         if store is not None:
             new_labels = store.save_state(it, new_labels, rows_in=n)
         else:
@@ -158,6 +159,7 @@ def _components_loop(
             or 0
         )
         labels = new_labels.select("id", "label")
+        prev_state.unpersist()  # release the prior superstep's blocks
         if changed == 0:
             if store is not None:
                 store.annotate(it, converged=True)

@@ -38,8 +38,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
+import logging
+
 from k2_18_spark.checkpoint import CheckpointStore
 from k2_18_spark.graph.adjacency import metrics_view, vertex_ids
+
+log = logging.getLogger(__name__)
 
 
 def undirected_projection(edges: DataFrame) -> DataFrame:
@@ -174,6 +178,7 @@ def _lpa_loop(
         # rounds' vote joins collapse to the few edges around still-
         # moving labels instead of the full |E|/2 half-table.
         active_edges = sym_by_par[it % 2]
+        frontier = None
         c1, c2 = changed_dfs.get(it - 1), changed_dfs.get(it - 2)
         if (
             it >= start_iter + 2
@@ -242,6 +247,7 @@ def _lpa_loop(
                 "old_label",
             )
         )
+        prev_state = labels
         if store is not None:
             new_labels = store.save_state(it, new_labels, rows_in=n)
         else:
@@ -252,12 +258,16 @@ def _lpa_loop(
             .localCheckpoint(eager=True)
         )
         changed = changed_df.count()
+        log.info("lpa iteration=%d changed=%d (n=%d)", it, changed, n)
         changed_dfs[it] = changed_df
         changed_cnts[it] = changed
         stale = changed_dfs.pop(it - 2, None)  # only last two rounds matter
         if stale is not None:
             stale.unpersist()
         labels = new_labels.select("id", "label")
+        prev_state.unpersist()  # release the prior superstep's blocks
+        if frontier is not None:
+            frontier.unpersist()
         # converged when a full even+odd cycle changes nothing
         if changed == 0 and prev_changed == 0:
             if store is not None:

@@ -193,6 +193,7 @@ def _pagerank_loop(
     converged = False
     it = start_iter - 1
     for it in range(start_iter, max_iter):
+        prev_state = ranks
         new_ranks = _superstep(ranks, adj, alpha, n, dangling_mass)
         if store is not None:
             new_ranks = store.save_state(it, new_ranks, rows_in=n)
@@ -205,6 +206,10 @@ def _pagerank_loop(
         err = err or 0.0
         dangling_mass = dangling_mass or 0.0
         ranks = new_ranks.select("id", "rank", "dangling")
+        # the new state is materialized — release the previous
+        # iteration's checkpoint blocks (they'd otherwise pin |V| rows
+        # per superstep for the whole loop)
+        prev_state.unpersist()
         if err < n * tol:
             converged = True
             if store is not None:

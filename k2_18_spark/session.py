@@ -69,7 +69,21 @@ def get_spark(
         ),
         # Superstep loops build long plans; keep planner costs flat.
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # local mode: the driver IS the executor — size it for the box
+        # (bench holds a 1.5M-edge graph + adjacency + embedding corpus
+        # cached at once; 8g forced constant GC on the late queries)
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        # shuffle/checkpoint scratch on tmpfs when available: this box's
+        # /tmp is a shared virtual disk whose co-tenant writeback stalls
+        # BypassMergeSortShuffleWriter's transferTo for tens of seconds
+        # (jstack-verified); a real cluster's executors get local SSDs.
+        # Override with SPARK_GRAFT_LOCAL_DIR.
+        "spark.local.dir": os.environ.get(
+            "SPARK_GRAFT_LOCAL_DIR",
+            "/dev/shm/spark-local"
+            if os.access("/dev/shm", os.W_OK)
+            else "/tmp",
+        ),
         "spark.ui.enabled": "false",
         "spark.sql.session.timeZone": "UTC",
     }
