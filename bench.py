@@ -157,13 +157,22 @@ def main() -> None:
     # CPU-bound sampled-source Brandes (pure-Python work per source over a
     # broadcast CSR — the workload where core-count scaling is visible on
     # a single box; run on a capped subgraph so the CSR collect stays small)
-    if num_e <= 2_000_000:
-        from k2_18_spark.graph.centrality import betweenness_closeness
+    from k2_18_spark.graph.centrality import betweenness_closeness
 
+    if num_e <= 2_000_000:
         timed(
             "betweenness_s64",
             lambda: betweenness_closeness(
                 spark, edges, nodes=nodes, sample_k=64
+            ).count(),
+        )
+    else:
+        # above the CSR ceiling: the fully distributed superstep Brandes
+        # (multi-source SSSP + DAG settling, NO driver collect)
+        timed(
+            "betweenness_superstep_s8",
+            lambda: betweenness_closeness(
+                spark, edges, nodes=nodes, sample_k=8, method="superstep"
             ).count(),
         )
 

@@ -136,8 +136,27 @@ def betweenness_closeness(
     sample_k: int | None = None,
     num_slices: int | None = None,
     max_collect_edges: int = 10_000_000,
+    method: str = "driver",
 ) -> DataFrame:
-    """→ (id, betweenness_centrality, out_closeness)."""
+    """→ (id, betweenness_centrality, out_closeness).
+
+    ``method``:
+    - "driver" (default): broadcast-CSR source-parallel Brandes —
+      exact nx semantics incl. weight≤0 inf-edges; ceiling
+      ``max_collect_edges``.
+    - "superstep": fully distributed (NO driver collect) — multi-source
+      label-correcting SSSP + shortest-path-DAG sigma/delta
+      accumulation as superstep joins; removes the CSR ceiling.
+      Requires strictly positive weights (inf-distance edges would make
+      the equal-distance DAG cyclic) and is intended with ``sample_k``.
+    - "auto": driver when the edge count fits, else superstep.
+    """
+    if method == "superstep":
+        return _superstep_centrality(spark, edges, nodes, sample_k)
+    if method == "auto":
+        mv_count = metrics_view(edges).count()
+        if mv_count > max_collect_edges:
+            return _superstep_centrality(spark, edges, nodes, sample_k)
     verts, indptr, indices, weights = _collect_csr(edges, nodes, max_collect_edges)
     n = len(verts)
     if n == 0:
@@ -209,3 +228,296 @@ def betweenness_closeness(
             F.coalesce("out_closeness", F.lit(0.0)).alias("out_closeness"),
         )
     )
+
+
+def _superstep_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    nodes: DataFrame | None,
+    sample_k: int | None,
+    max_rounds: int = 500,
+) -> DataFrame:
+    """Distributed sampled-source Brandes — NO driver collect anywhere.
+
+    Three superstep phases over the dense-encoded adjacency:
+    1. multi-source label-correcting SSSP (frontier joins; rounds =
+       corrected-hop diameter),
+    2. path counts σ: settle a vertex once ALL its shortest-path-DAG
+       predecessors are settled (incremental indegree counting; rounds =
+       DAG depth — acyclic because weights are strictly positive, so
+       distance strictly increases along DAG edges),
+    3. dependencies δ on the reverse DAG (same settling scheme).
+
+    Source sampling uses the same stride-over-sorted-ids rule as the
+    driver path, so both methods see identical sources and agree to
+    float noise (tested at 1e-6). Weight ≤ 0 edges (inverse distance
+    inf) would create equal-inf DAG cycles; they raise here — use
+    method="driver" for that nx edge case.
+    """
+    from k2_18_spark.session import superstep_conf
+
+    with superstep_conf(spark):
+        return _superstep_centrality_loop(
+            spark, edges, nodes, sample_k, max_rounds
+        )
+
+
+def _superstep_centrality_loop(spark, edges, nodes, sample_k, max_rounds):
+    from pyspark.storagelevel import StorageLevel
+
+    from k2_18_spark.graph.adjacency import dense_vertex_ids
+
+    vmap = dense_vertex_ids(vertex_ids(edges, nodes))  # (id, ord) — id-sorted
+    vmap = vmap.persist(StorageLevel.MEMORY_AND_DISK)
+    n = vmap.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "id string, betweenness_centrality double, out_closeness double"
+        )
+
+    mv = metrics_view(edges)
+    if mv.filter(F.col("weight") <= 0).limit(1).count() > 0:
+        raise ValueError(
+            "method='superstep' requires strictly positive weights "
+            "(weight<=0 => infinite inverse distance; use method='driver')"
+        )
+    enc_u = vmap.select(F.col("id").alias("src_id"), F.col("ord").alias("_u"))
+    enc_v = vmap.select(F.col("id").alias("dst_id"), F.col("ord").alias("_v"))
+    e = (
+        mv.join(enc_u.hint("shuffle_hash"), "src_id")
+        .join(enc_v.hint("shuffle_hash"), "dst_id")
+        .select(
+            F.col("_u").alias("u"),
+            F.col("_v").alias("v"),
+            (F.lit(1.0) / F.col("weight")).alias("wt"),
+        )
+        .repartition("u")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e.count()
+
+    # stride sample over ord = the driver path's stride over sorted ids
+    if sample_k is not None and sample_k < n:
+        stride = max(1, n // sample_k)
+        srcs = vmap.filter(
+            (F.pmod(F.col("ord"), F.lit(stride)) == 0)
+            & (F.col("ord") < stride * sample_k)
+        )
+    else:
+        srcs = vmap
+    sources = srcs.select(F.col("ord").alias("s")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    k = sources.count()
+
+    # -- phase 1: multi-source SSSP ------------------------------------
+    dist = sources.select("s", F.col("s").alias("v"), F.lit(0.0).alias("d"))
+    dist = dist.localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(max_rounds):
+        fr = frontier.select("s", F.col("v").alias("u"), "d")
+        cand = (
+            fr.join(e.hint("shuffle_hash"), "u")
+            .select("s", "v", (F.col("d") + F.col("wt")).alias("nd"))
+            .groupBy("s", "v")
+            .agg(F.min("nd").alias("d"))
+        )
+        # hash joins only (AQE is off inside superstep_conf and an
+        # unhinted join would SORT the |sources|·|V| dist state every
+        # round); merge via union + partial-agg min, not anti-join
+        improved = (
+            cand.hint("shuffle_hash")
+            .join(dist.select("s", "v", F.col("d").alias("od")), ["s", "v"], "left")
+            .filter(F.col("od").isNull() | (F.col("d") < F.col("od")))
+            .select("s", "v", "d")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        old = dist
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("s", "v")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        old.unpersist()
+        frontier = improved
+    else:
+        raise RuntimeError(f"superstep SSSP did not settle in {max_rounds} rounds")
+    dist = dist.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # -- shortest-path DAG: u→w where d(u) + wt == d(w) ----------------
+    dag = (
+        dist.select("s", F.col("v").alias("u"), F.col("d").alias("du"))
+        .join(e.hint("shuffle_hash"), "u")
+        .select("s", "u", "du", F.col("v").alias("w"), "wt")
+        .join(
+            dist.select("s", F.col("v").alias("w"), F.col("d").alias("dw")).hint(
+                "shuffle_hash"
+            ),
+            ["s", "w"],
+        )
+        .filter(F.col("du") + F.col("wt") == F.col("dw"))
+        .select("s", "u", "w")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dag.count()
+
+    # -- phase 2: σ by incremental indegree settling -------------------
+    indeg = dag.groupBy("s", "w").agg(F.count(F.lit(1)).alias("deg")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigma = sources.select("s", F.col("s").alias("v"), F.lit(1.0).alias("sigma"))
+    sigma = sigma.localCheckpoint(eager=True)
+    new_settled = sigma
+    acc = None  # (s, w, sig, cnt) partial sums over settled preds
+    for _ in range(max_rounds):
+        contrib = (
+            dag.join(
+                new_settled.select(
+                    "s", F.col("v").alias("u"), "sigma"
+                ).hint("shuffle_hash"),
+                ["s", "u"],
+            )
+            .select("s", "w", F.col("sigma").alias("sig"), F.lit(1).alias("cnt"))
+        )
+        merged = contrib if acc is None else acc.unionByName(contrib)
+        acc_new = (
+            merged.groupBy("s", "w")
+            .agg(F.sum("sig").alias("sig"), F.sum("cnt").cast("int").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        if acc is not None:
+            acc.unpersist()
+        acc = acc_new
+        ready = (
+            acc.join(indeg, ["s", "w"])
+            .filter(F.col("cnt") == F.col("deg"))
+            .join(
+                sigma.select("s", F.col("v").alias("w")), ["s", "w"], "left_anti"
+            )
+            .select("s", F.col("w").alias("v"), F.col("sig").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        if ready.isEmpty():
+            break
+        old = sigma
+        sigma = sigma.unionByName(ready).localCheckpoint(eager=True)
+        old.unpersist()
+        new_settled = ready
+    else:
+        raise RuntimeError(f"σ settling exceeded {max_rounds} rounds")
+    sigma = sigma.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # -- phase 3: δ on the reverse DAG ---------------------------------
+    # ratio edges: u→w with σu/σw precomputed
+    dag_r = (
+        dag.join(
+            sigma.select("s", F.col("v").alias("u"), F.col("sigma").alias("su")).hint(
+                "shuffle_hash"
+            ),
+            ["s", "u"],
+        )
+        .join(
+            sigma.select("s", F.col("v").alias("w"), F.col("sigma").alias("sw")).hint(
+                "shuffle_hash"
+            ),
+            ["s", "w"],
+        )
+        .select("s", "u", "w", (F.col("su") / F.col("sw")).alias("ratio"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    outdeg = dag_r.groupBy("s", "u").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # leaves: reached vertices with no DAG successors → δ = 0
+    delta = (
+        dist.select("s", "v")
+        .join(
+            outdeg.select("s", F.col("u").alias("v")), ["s", "v"], "left_anti"
+        )
+        .select("s", "v", F.lit(0.0).alias("delta"))
+        .localCheckpoint(eager=True)
+    )
+    new_settled = delta
+    acc2 = None
+    for _ in range(max_rounds):
+        contrib = (
+            dag_r.join(
+                new_settled.select("s", F.col("v").alias("w"), "delta").hint(
+                    "shuffle_hash"
+                ),
+                ["s", "w"],
+            )
+            .select(
+                "s",
+                "u",
+                (F.col("ratio") * (F.lit(1.0) + F.col("delta"))).alias("dd"),
+                F.lit(1).alias("cnt"),
+            )
+        )
+        merged = contrib if acc2 is None else acc2.unionByName(contrib)
+        acc2_new = (
+            merged.groupBy("s", "u")
+            .agg(F.sum("dd").alias("dd"), F.sum("cnt").cast("int").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        if acc2 is not None:
+            acc2.unpersist()
+        acc2 = acc2_new
+        ready = (
+            acc2.join(outdeg, ["s", "u"])
+            .filter(F.col("cnt") == F.col("deg"))
+            .join(delta.select("s", F.col("v").alias("u")), ["s", "u"], "left_anti")
+            .select("s", F.col("u").alias("v"), F.col("dd").alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        if ready.isEmpty():
+            break
+        old = delta
+        delta = delta.unionByName(ready).localCheckpoint(eager=True)
+        old.unpersist()
+        new_settled = ready
+    else:
+        raise RuntimeError(f"δ settling exceeded {max_rounds} rounds")
+
+    # -- assemble ------------------------------------------------------
+    # betweenness: Σ_s δ_s(v) for v ≠ s, nx directed normalization
+    # 1/((n-1)(n-2)) and k-sample rescale ×(n/k)
+    scale = (1.0 / ((n - 1.0) * (n - 2.0)) * (float(n) / k)) if n > 2 else 0.0
+    bc = (
+        delta.filter(F.col("v") != F.col("s"))
+        .groupBy("v")
+        .agg((F.sum("delta") * F.lit(scale)).alias("betweenness_centrality"))
+    )
+    # out-closeness for the sampled sources (non-sources → 0, like the
+    # driver sample path): C(s) = (reach-1)/Σd · (reach-1)/(n-1)
+    clo = (
+        dist.groupBy("s")
+        .agg(F.sum("d").alias("totsp"), F.count(F.lit(1)).alias("reach"))
+        .select(
+            F.col("s").alias("v"),
+            F.when(
+                (F.col("totsp") > 0) & (F.col("reach") > 1) & (F.lit(n) > 1),
+                (F.col("reach") - 1.0)
+                / F.col("totsp")
+                * ((F.col("reach") - 1.0) / F.lit(n - 1.0)),
+            )
+            .otherwise(0.0)
+            .alias("out_closeness"),
+        )
+    )
+    out = (
+        vmap.select(F.col("ord").alias("v"), "id")
+        .join(bc, "v", "left")
+        .join(clo, "v", "left")
+        .select(
+            "id",
+            F.coalesce("betweenness_centrality", F.lit(0.0)).alias(
+                "betweenness_centrality"
+            ),
+            F.coalesce("out_closeness", F.lit(0.0)).alias("out_closeness"),
+        )
+    )
+    return out

@@ -140,3 +140,85 @@ def test_csr_collect_guard(spark):
     )
     with pytest.raises(RuntimeError, match="driver-broadcast CSR"):
         betweenness_closeness(spark, edges, max_collect_edges=5)
+
+
+def _random_weighted_digraph(spark, n=40, m=200, seed=7):
+    """Deterministic random digraph with continuous positive weights
+    (no exact distance ties → both methods see the same SP DAG)."""
+    import random
+
+    rng = random.Random(seed)
+    seen = set()
+    rows = []
+    while len(rows) < m:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u == v or (u, v) in seen:
+            continue
+        seen.add((u, v))
+        rows.append((f"n{u:03d}", f"n{v:03d}", "LINK", 0.05 + rng.random()))
+    edges = spark.createDataFrame(
+        rows, "src_id string, dst_id string, edge_type string, weight double"
+    )
+    nodes = spark.createDataFrame(
+        [(f"n{i:03d}",) for i in range(n)], "id string"
+    )
+    return nodes, edges
+
+
+@pytest.mark.parametrize("sample_k", [None, 10])
+def test_superstep_matches_driver_path(spark, sample_k):
+    """The distributed (no-driver-collect) superstep Brandes agrees
+    with the broadcast-CSR driver path at 1e-6 on random weighted
+    digraphs — identical stride-sampled sources by construction."""
+    nodes, edges = _random_weighted_digraph(spark)
+    drv = {
+        r["id"]: (r["betweenness_centrality"], r["out_closeness"])
+        for r in betweenness_closeness(
+            spark, edges, nodes=nodes, sample_k=sample_k
+        ).collect()
+    }
+    sst = {
+        r["id"]: (r["betweenness_centrality"], r["out_closeness"])
+        for r in betweenness_closeness(
+            spark, edges, nodes=nodes, sample_k=sample_k, method="superstep"
+        ).collect()
+    }
+    assert set(drv) == set(sst)
+    for nid in drv:
+        assert math.isclose(drv[nid][0], sst[nid][0], abs_tol=1e-6), (
+            nid, "betweenness", drv[nid][0], sst[nid][0])
+        assert math.isclose(drv[nid][1], sst[nid][1], abs_tol=1e-6), (
+            nid, "closeness", drv[nid][1], sst[nid][1])
+
+
+def test_superstep_matches_networkx_exact(spark):
+    """Full-source superstep Brandes vs networkx at 1e-9 (n=25)."""
+    nodes, edges = _random_weighted_digraph(spark, n=25, m=100, seed=3)
+    data = {
+        "nodes": [{"id": r["id"]} for r in nodes.collect()],
+        "edges": [
+            {"source": r["src_id"], "target": r["dst_id"],
+             "type": r["edge_type"], "weight": r["weight"]}
+            for r in edges.collect()
+        ],
+    }
+    bet, clo = nx_oracle(data)
+    got = {
+        r["id"]: (r["betweenness_centrality"], r["out_closeness"])
+        for r in betweenness_closeness(
+            spark, edges, nodes=nodes, method="superstep"
+        ).collect()
+    }
+    for nid in bet:
+        assert math.isclose(got[nid][0], bet[nid], abs_tol=1e-9), (nid, "bet")
+        assert math.isclose(got[nid][1], clo[nid], abs_tol=1e-9), (nid, "clo")
+
+
+def test_superstep_rejects_nonpositive_weights(spark):
+    from k2_18_spark import schemas
+
+    edges = spark.createDataFrame(
+        [("a", "b", "MENTIONS", 0.0, None, 0)], schemas.EDGES
+    )
+    with pytest.raises(ValueError, match="strictly positive"):
+        betweenness_closeness(spark, edges, method="superstep")

@@ -150,3 +150,37 @@ def test_star_components_isolated_and_multi(spark):
     got = {r["id"]: r["component_id"]
            for r in connected_components_star(spark, edges, nodes=nodes).collect()}
     assert got == {"a": 0, "b": 0, "c": 1, "d": 1, "iso": 2}
+
+
+def test_components_kill_resume_mid_iteration(spark, tmp_ckpt):
+    """Kill mid-iteration (cap hit before convergence on a long chain),
+    then resume from the checkpoint — final labels BIT-identical to an
+    uninterrupted run, and the lineage shows the resumed run continued
+    (did not restart at iteration 0)."""
+    import pytest as _pytest
+
+    n = 14  # chain diameter 13 → min-label needs >2 rounds
+    edges = spark.createDataFrame(
+        [(f"c{i:02d}", f"c{i+1:02d}", "NEXT", 1.0) for i in range(n - 1)]
+        + [("z0", "z1", "NEXT", 1.0)],
+        "src_id string, dst_id string, edge_type string, weight double",
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            spark, edges, max_iter=2, checkpoint_dir=tmp_ckpt
+        )
+
+    resumed = sorted(
+        map(tuple, connected_components(spark, edges, checkpoint_dir=tmp_ckpt).collect())
+    )
+    fresh = sorted(map(tuple, connected_components(spark, edges).collect()))
+    assert resumed == fresh
+
+    from k2_18_spark.checkpoint import CheckpointStore
+
+    store = CheckpointStore(
+        spark, tmp_ckpt, "components", state_version="encoded-long-v2"
+    )
+    iters = {r["iteration"] for r in store.lineage().collect()}
+    # iterations 0,1 from the killed run; the resumed run added ≥ 2
+    assert {0, 1} <= iters and max(iters) >= 2

@@ -5,6 +5,8 @@ byte parity on the reference's own fixture corpus."""
 import unicodedata
 from pathlib import Path
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from k2_18_spark.functions.text import (
@@ -96,3 +98,135 @@ def test_extract_udf_byte_identical_per_url(spark):
     bad = checked.filter(~F.col("ok")).count()
     assert bad == 0
     assert checked.count() == 120
+
+
+# -- adversarial extractor parity corpus (F1) ---------------------------------
+# Each case: (html_in, expected_output_of_our_span_cut, bs4_divergence).
+# bs4_divergence=None ⇒ BeautifulSoup(html.parser) + decompose +
+# str(soup) — the reference extractor, src/slicer.py:163-203 — would
+# produce the SAME bytes (both use the stdlib html.parser tokenizer, so
+# element boundaries agree; bs4 only differs where its TREE
+# re-serialization alters bytes outside the removed elements).
+# Non-None values document the exact expected byte difference.
+ADVERSARIAL_CASES = [
+    ("simple", "a<script>var x=1;</script>b", "ab", None),
+    (
+        "nested_script",
+        "a<script>x<script>y</script>z</script>b",
+        "az</script>b",
+        "bs4 drops the stray unmatched '</script>' end tag during "
+        "re-serialization -> 'azb'; the span-cut preserves the raw bytes",
+    ),
+    ("unclosed_script_eof", "keep<script>runs to eof", "keep", None),
+    (
+        "unclosed_style_then_text",
+        "k1<style>.x{color:red}\nmore css",
+        "k1",
+        None,
+    ),
+    (
+        "end_tag_in_script_attr",
+        'a<script type="</script>">body</script>b',
+        "ab",
+        None,  # same stdlib tokenizer decides the element boundary
+    ),
+    (
+        "marker_in_nonscript_attr",
+        'x<div data-t="<script>alert(1)</script>">y</div>z',
+        'x<div data-t="<script>alert(1)</script>">y</div>z',
+        None,  # no script ELEMENT exists; bs4 serializes the attr unchanged
+    ),
+    (
+        "comment_wrapped",
+        "q<!-- <script>x</script> -->w",
+        "q<!-- <script>x</script> -->w",
+        None,  # comments are opaque to both
+    ),
+    (
+        "cdata_wrapped",
+        "q<![CDATA[<script>x</script>]]>w",
+        "q<![CDATA[<script>x</script>]]>w",
+        None,  # unknown_decl / CData node round-trips
+    ),
+    ("case_insensitive", "a<SCRIPT>X</sCrIpT>b<STYLE>c</Style>d", "abd", None),
+    (
+        "attrs_multiline",
+        'a<script\n  src="x.js"\n  defer>\nbody()\n</script>\nb',
+        "a\nb",
+        None,
+    ),
+    ("self_closing", "a<script/>b<script>real</script>c", "abc", None),
+    (
+        "whitespace_end_tag",
+        "a<style>.c{}</ style>b</style>c",
+        "ab</style>c",
+        "html.parser closes the style element at '</ style>' (its CDATA "
+        "scanner allows whitespace); bs4 additionally drops the now-stray "
+        "'</style>' -> 'abc'",
+    ),
+    ("nfc_passthrough_no_tags", "café no tags", "café no tags", None),
+    (
+        "cyrillic_around_script",
+        "Текст<script>код</script>конец",
+        "Текстконец",
+        None,
+    ),
+    ("two_blocks", "a<script>1</script>m<style>2</style>z", "amz", None),
+    ("style_then_script", "a<style>s</style><script>q</script>b", "ab", None),
+    (
+        "single_quoted_attr_elsewhere",
+        "s<div class='a'><script>x</script></div>t",
+        "s<div class='a'></div>t",
+        "bs4 re-serializes EVERY tag: attribute quotes normalize to "
+        "double -> 's<div class=\"a\"></div>t'; the span-cut keeps "
+        "untouched markup byte-identical instead",
+    ),
+    (
+        "entity_in_text",
+        "A&nbsp;B<script>x</script>C",
+        "A&nbsp;B C".replace(" C", "C"),
+        "bs4 (convert_charrefs) decodes '&nbsp;' to U+00A0 and does not "
+        "re-escape it on output; the span-cut preserves the literal "
+        "entity bytes",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,html,expected,bs4_note",
+    ADVERSARIAL_CASES,
+    ids=[c[0] for c in ADVERSARIAL_CASES],
+)
+def test_preprocess_adversarial(name, html, expected, bs4_note):
+    got = preprocess_text(html)
+    assert got == expected, (name, got)
+    # invariant of the span-cut design: every output byte appears in the
+    # NFC-normalized input in order (we only ever DELETE spans)
+    import unicodedata as _ud
+
+    norm = _ud.normalize("NFC", html)
+    pos = 0
+    for ch in got:
+        pos = norm.find(ch, pos)
+        assert pos != -1, (name, "output byte not from input", ch)
+        pos += 1
+    # bs4_note is documentation: non-None cases are the enumerated,
+    # bounded divergences vs the bs4-backed reference extractor
+
+
+def test_preprocess_adversarial_batch_udf(spark):
+    """The same corpus through the vectorized UDF path (extract_udf):
+    batch results byte-equal the scalar function."""
+    from k2_18_spark.functions.text import preprocess_text_udf
+
+    df = spark.createDataFrame(
+        [(c[0], c[1]) for c in ADVERSARIAL_CASES], "name string, text string"
+    )
+    got = {
+        r["name"]: r["out"]
+        for r in df.select(
+            "name", preprocess_text_udf("text").alias("out")
+        ).collect()
+    }
+    for name, html, expected, _ in ADVERSARIAL_CASES:
+        assert got[name] == expected, name

@@ -103,3 +103,40 @@ def test_triangles_skewed_hub(spark):
     assert got["hub"] == 3
     assert got["s0"] == got["s1"] == 1
     assert got["s29"] == 0
+
+
+def test_lpa_kill_resume_mid_iteration(spark, tmp_ckpt):
+    """Simulated kill at iteration 3 (cap), resume to the full horizon
+    from the shared CheckpointStore — labels BIT-identical to an
+    uninterrupted run (the encoded-state resume re-derives the same
+    trajectory; the changed-label frontier restarts with two full-vote
+    rounds, which cannot alter it)."""
+    rows = []
+    for p, members in (("a", 5), ("b", 5), ("c", 4)):
+        for i in range(members):
+            for j in range(i + 1, members):
+                rows.append((f"{p}{i}", f"{p}{j}", "REL", 1.0))
+    rows += [("a0", "b0", "REL", 0.1), ("b1", "c0", "REL", 0.1)]
+    edges = spark.createDataFrame(
+        rows, "src_id string, dst_id string, edge_type string, weight double"
+    )
+
+    label_propagation(spark, edges, max_iter=3, checkpoint_dir=tmp_ckpt)
+    resumed = sorted(
+        map(
+            tuple,
+            label_propagation(
+                spark, edges, max_iter=12, checkpoint_dir=tmp_ckpt
+            ).collect(),
+        )
+    )
+    fresh = sorted(
+        map(tuple, label_propagation(spark, edges, max_iter=12).collect())
+    )
+    assert resumed == fresh
+
+    from k2_18_spark.checkpoint import CheckpointStore
+
+    store = CheckpointStore(spark, tmp_ckpt, "lpa", state_version="encoded-long-v2")
+    iters = {r["iteration"] for r in store.lineage().collect()}
+    assert {0, 1, 2} <= iters and max(iters) >= 3
