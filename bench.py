@@ -166,9 +166,11 @@ def main() -> None:
                 spark, edges, nodes=nodes, sample_k=64
             ).count(),
         )
-    else:
+    elif os.environ.get("BENCH_SUPERSTEP_BETWEENNESS", "0") == "1":
         # above the CSR ceiling: the fully distributed superstep Brandes
-        # (multi-source SSSP + DAG settling, NO driver collect)
+        # (multi-source SSSP + DAG settling, NO driver collect).
+        # Opt-in: 8 sources at 15M edges measured 1385 s (BASELINE.md) —
+        # too heavy for the default per-round scaling bench.
         timed(
             "betweenness_superstep_s8",
             lambda: betweenness_closeness(

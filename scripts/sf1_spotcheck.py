@@ -1,0 +1,280 @@
+#!/usr/bin/env python
+"""Scale-up correctness evidence at sf1.0 (1M vertices / 15M edges).
+
+The driver's CORRECTNESS harness runs at sf0.01; this script re-runs
+the same engine-vs-independent-oracle pattern at 100× that scale on
+the seeded synthetic power-law graph (no external data):
+
+- degrees        vs DuckDB SQL over the exported edge parquet
+- pagerank@5     vs a 5-iteration DuckDB power-iteration CTE
+                 (fixed iteration count so the recursive CTE is bounded;
+                 values compared rounded to 6 decimals, the engine runs
+                 tol=0 to force exactly 5 supersteps)
+- components     vs a numpy union-find over the full edge list
+                 (exact partition + renumbering equality — DuckDB's
+                 transitive-closure oracle would explode at this size)
+- triangles      vs DuckDB's oriented two-hop join (global count)
+- lpa@3          vs a numpy/pandas replica of the documented
+                 semi-synchronous trajectory (vote_round=9 on both
+                 sides bridges float summation order)
+
+Writes CORRECTNESS_sf1_spotcheck.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from k2_18_spark.io.synth import powerlaw_edges, vertex_table
+from k2_18_spark.session import get_spark
+
+NUM_V = int(os.environ.get("SF1_V", 1_000_000))
+NUM_E = int(os.environ.get("SF1_E", 15_000_000))
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "CORRECTNESS_sf1_spotcheck.json")
+SCRATCH = os.environ.get("SF1_SCRATCH", "/tmp/sf1_edges.parquet")
+
+results: dict[str, dict] = {}
+
+
+def record(name, ok, wall, detail):
+    results[name] = {"ok": bool(ok), "wall_sec": round(wall, 1), "detail": detail}
+    print(f"[sf1] {name}: ok={ok} wall={wall:.1f}s {detail}", flush=True)
+
+
+def main():
+    spark = get_spark(app_name="sf1_spotcheck",
+                      master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+                      shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    edges = powerlaw_edges(spark, NUM_V, NUM_E).persist()
+    nodes = vertex_table(spark, NUM_V).persist()
+    m = edges.count()
+    nodes.count()
+    edges.write.mode("overwrite").parquet(SCRATCH)
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW e AS SELECT * FROM '{SCRATCH}/*.parquet'")
+
+    # -- degrees ------------------------------------------------------------
+    t0 = time.monotonic()
+    from k2_18_spark.operators.degrees import degrees
+
+    sdeg = degrees(edges, nodes).select(
+        "id", "degree_in", "degree_out"
+    ).toPandas().sort_values("id").reset_index(drop=True)
+    odeg = con.sql("""
+        WITH mv AS (
+            SELECT src_id, dst_id FROM (
+                SELECT src_id, dst_id,
+                       ROW_NUMBER() OVER (PARTITION BY src_id, dst_id
+                                          ORDER BY weight DESC) rn
+                FROM e) WHERE rn = 1
+        ),
+        verts AS (SELECT UNNEST(RANGE({n})) AS i)
+        SELECT 'v' || verts.i AS id,
+               CAST(COALESCE(ind.c, 0) AS INT) AS degree_in,
+               CAST(COALESCE(outd.c, 0) AS INT) AS degree_out
+        FROM verts
+        LEFT JOIN (SELECT dst_id, COUNT(*) c FROM mv GROUP BY 1) ind
+               ON ind.dst_id = 'v' || verts.i
+        LEFT JOIN (SELECT src_id, COUNT(*) c FROM mv GROUP BY 1) outd
+               ON outd.src_id = 'v' || verts.i
+    """.format(n=NUM_V)).df().sort_values("id").reset_index(drop=True)
+    ok = (sdeg["id"].tolist() == odeg["id"].tolist()
+          and (sdeg["degree_in"].to_numpy() == odeg["degree_in"].to_numpy()).all()
+          and (sdeg["degree_out"].to_numpy() == odeg["degree_out"].to_numpy()).all())
+    record("degrees", ok, time.monotonic() - t0, f"{len(sdeg)} vertices")
+
+    # -- pagerank, exactly 5 supersteps -------------------------------------
+    t0 = time.monotonic()
+    from k2_18_spark.graph.pagerank import pagerank
+
+    spr = pagerank(spark, edges, nodes=nodes, max_iter=5, tol=0.0, strict=False)
+    spd = spr.select("id", F.round("rank", 6).alias("r")).toPandas()
+    opr = con.sql("""
+        WITH RECURSIVE
+        mv AS MATERIALIZED (
+            SELECT src_id, dst_id, weight FROM (
+                SELECT src_id, dst_id, weight,
+                       ROW_NUMBER() OVER (PARTITION BY src_id, dst_id
+                                          ORDER BY weight DESC) rn
+                FROM e) WHERE rn = 1
+        ),
+        outw AS MATERIALIZED (
+            SELECT src_id, SUM(weight) ow FROM mv GROUP BY 1),
+        frac AS MATERIALIZED (
+            SELECT mv.src_id, mv.dst_id, mv.weight / outw.ow AS f
+            FROM mv JOIN outw USING (src_id)),
+        verts AS MATERIALIZED (
+            SELECT 'v' || UNNEST(RANGE({n})) AS id),
+        dang AS MATERIALIZED (
+            SELECT v.id FROM verts v
+            LEFT JOIN (SELECT DISTINCT src_id FROM mv) s ON v.id = s.src_id
+            WHERE s.src_id IS NULL),
+        pr(iter, id, rank) AS (
+            SELECT 0, id, CAST(1.0 AS DOUBLE) / {n} FROM verts
+            UNION ALL
+            SELECT p.iter + 1, p.id,
+                   0.85 * COALESCE(c.contrib, CAST(0 AS DOUBLE))
+                   + (0.85 * dm.mass / {n} + 0.15 / {n})
+            FROM pr p
+            LEFT JOIN (
+                SELECT p2.iter, f.dst_id AS id, SUM(p2.rank * f.f) contrib
+                FROM pr p2 JOIN frac f ON p2.id = f.src_id
+                GROUP BY 1, 2) c ON c.id = p.id AND c.iter = p.iter
+            JOIN (SELECT p3.iter, COALESCE(SUM(p3.rank), 0) mass
+                  FROM pr p3 JOIN dang d ON p3.id = d.id
+                  GROUP BY 1) dm ON dm.iter = p.iter
+            WHERE p.iter < 5
+        )
+        SELECT id, ROUND(rank, 6) r FROM pr WHERE iter = 5
+    """.format(n=NUM_V)).df()
+    sm = dict(zip(spd["id"], spd["r"]))
+    om = dict(zip(opr["id"], opr["r"]))
+    bad = sum(1 for k in om if abs(sm.get(k, -1) - om[k]) > 1e-9)
+    record("pagerank_iter5", bad == 0 and len(sm) == len(om),
+           time.monotonic() - t0, f"{len(om)} vertices, {bad} mismatches")
+
+    # -- components vs numpy union-find -------------------------------------
+    t0 = time.monotonic()
+    from k2_18_spark.graph.components import connected_components
+
+    scomp = connected_components(spark, edges, nodes=nodes).toPandas()
+    ep = edges.select("src_id", "dst_id").toPandas()
+    su = ep["src_id"].str.slice(1).to_numpy(dtype=np.int64)
+    dv = ep["dst_id"].str.slice(1).to_numpy(dtype=np.int64)
+    parent = np.arange(NUM_V, dtype=np.int64)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(su.tolist(), dv.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(i) for i in range(NUM_V)])
+    # renumbering: component id = dense rank of min member index, and
+    # min member == root under union-by-min — order of first appearance
+    uniq = np.unique(roots)  # sorted ascending = min-member order
+    rank_of = {r: i for i, r in enumerate(uniq.tolist())}
+    want = {f"v{i}": rank_of[roots[i]] for i in range(NUM_V)}
+    got = dict(zip(scomp["id"], scomp["component_id"]))
+    bad = sum(1 for k, v in want.items() if got.get(k) != v)
+    record("components_unionfind", bad == 0 and len(got) == NUM_V,
+           time.monotonic() - t0, f"{len(np.unique(roots))} components, {bad} mismatches")
+
+    # -- triangles (global count) -------------------------------------------
+    t0 = time.monotonic()
+    from k2_18_spark.graph.triangles import triangle_count
+
+    st = triangle_count(spark, edges)
+    # degree-oriented compact-forward (same skew guard as the engine —
+    # a naive two-hop join would blow up on power-law hubs)
+    ot = con.sql("""
+        WITH und AS (
+            SELECT DISTINCT LEAST(src_id, dst_id) a, GREATEST(src_id, dst_id) b
+            FROM e WHERE src_id <> dst_id),
+        deg AS (
+            SELECT v, COUNT(*) d FROM (
+                SELECT a v FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        o AS (
+            SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+                        THEN u.a ELSE u.b END lo,
+                   CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+                        THEN u.b ELSE u.a END hi,
+                   CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+                        THEN db.d ELSE da.d END dhi
+            FROM und u
+            JOIN deg da ON da.v = u.a
+            JOIN deg db ON db.v = u.b)
+        -- wedge endpoints ordered by the SAME (deg, id) key as the
+        -- orientation, so the closing edge is oriented e1.hi -> e2.hi
+        SELECT COUNT(*) FROM o e1
+        JOIN o e2 ON e1.lo = e2.lo
+                 AND ((e1.dhi < e2.dhi)
+                      OR (e1.dhi = e2.dhi AND e1.hi < e2.hi))
+        JOIN o e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+    """).fetchone()[0]
+    record("triangle_count", int(st) == int(ot), time.monotonic() - t0,
+           f"spark={int(st)} duckdb={int(ot)}")
+
+    # -- LPA, 3 rounds, numpy trajectory replica ----------------------------
+    t0 = time.monotonic()
+    from k2_18_spark.graph.lpa import label_propagation
+
+    slpa = label_propagation(
+        spark, edges, nodes=nodes, max_iter=3, vote_round=9
+    ).toPandas()
+    # replica: same undirected projection / parity / argmax semantics
+    mvp = con.sql("""
+        SELECT LEAST(src_id, dst_id) a, GREATEST(src_id, dst_id) b,
+               SUM(weight) w
+        FROM (SELECT src_id, dst_id, weight, ROW_NUMBER() OVER (
+                  PARTITION BY src_id, dst_id ORDER BY weight DESC) rn
+              FROM e)
+        WHERE rn = 1 AND src_id <> dst_id
+        GROUP BY 1, 2
+    """).df()
+    av = mvp["a"].str.slice(1).to_numpy(dtype=np.int64)
+    bv = mvp["b"].str.slice(1).to_numpy(dtype=np.int64)
+    wv = mvp["w"].to_numpy(dtype=np.float64)
+    V = np.concatenate([av, bv]); Nb = np.concatenate([bv, av])
+    W = np.concatenate([wv, wv])
+    labels = np.arange(NUM_V, dtype=np.int64)
+    for it in range(3):
+        par = it % 2
+        mask = (V % 2) == par
+        v_, nb_, w_ = V[mask], Nb[mask], W[mask]
+        lab = labels[nb_]
+        import pandas as pd
+
+        votes = pd.DataFrame({"v": v_, "lab": lab, "w": w_}).groupby(
+            ["v", "lab"], as_index=False)["w"].sum()
+        votes["w"] = votes["w"].round(9)
+        votes = votes.sort_values(
+            ["v", "w", "lab"], ascending=[True, False, True])
+        best = votes.groupby("v", as_index=False).first()
+        labels[best["v"].to_numpy()] = best["lab"].to_numpy()
+    # renumber: cluster id = dense rank of min member ord == dense rank
+    # of label value (labels ARE min-ord under argmax trajectory? no —
+    # renumber by min member ord, replicating _renumber)
+    import pandas as pd
+
+    lab_df = pd.DataFrame({"ord": np.arange(NUM_V), "label": labels})
+    min_ord = lab_df.groupby("label", as_index=False)["ord"].min().rename(
+        columns={"ord": "mo"})
+    min_ord = min_ord.sort_values("mo").reset_index(drop=True)
+    min_ord["cid"] = range(len(min_ord))
+    lab_df = lab_df.merge(min_ord[["label", "cid"]], on="label")
+    want = dict(zip("v" + lab_df["ord"].astype(str), lab_df["cid"]))
+    got = dict(zip(slpa["id"], slpa["cluster_id"]))
+    bad = sum(1 for k, v in want.items() if got.get(k) != v)
+    record("lpa_iter3_trajectory", bad == 0 and len(got) == NUM_V,
+           time.monotonic() - t0, f"{bad} mismatches")
+
+    with open(OUT, "w", encoding="utf-8") as f:
+        json.dump({"num_vertices": NUM_V, "num_edges": m, "checks": results},
+                  f, indent=2)
+    print(f"[sf1] wrote {OUT}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
