@@ -206,36 +206,41 @@ def main() -> None:
     )
 
     dedup_n = int(os.environ.get("BENCH_DEDUP_N", max(2000, int(200_000 * sf))))
-    demb = embedding_table(spark, dedup_n, dim=64, cluster_size=10).persist()
-    dnodes = demb.select(
-        F.col("node_id").alias("id"),
-        F.lit("Chunk").alias("type"),
-        F.lit("synthetic document body for the dedup benchmark").alias("text"),
-    ).persist()
-    dedges = spark.createDataFrame(
-        [], "src_id string, dst_id string, edge_type string, weight double"
-    )
-    demb.count(), dnodes.count()
-
-    def run_dedup(candidate_fn):
-        _, _, dmap, _ = dedup_graph(
-            spark, dnodes, dedges, demb, sim_threshold=0.85,
-            candidate_fn=candidate_fn,
+    # BENCH_DEDUP_N=0 skips the dedup section (scaling runs time only
+    # the graph workloads)
+    if dedup_n > 0:
+        demb = embedding_table(spark, dedup_n, dim=64, cluster_size=10).persist()
+        dnodes = demb.select(
+            F.col("node_id").alias("id"),
+            F.lit("Chunk").alias("type"),
+            F.lit("synthetic document body for the dedup benchmark").alias("text"),
+        ).persist()
+        dedges = spark.createDataFrame(
+            [], "src_id string, dst_id string, edge_type string, weight double"
         )
-        return dmap.count()
+        demb.count(), dnodes.count()
 
-    # planes=12/tables=4: 17999/18000 of the exact path's map rows at
-    # 20k docs in 18.8s vs the crossJoin's 450s (planes=10/tables=6
-    # recovers all 18000 at 24.3s) — see BASELINE.md
-    extras["dedup_lsh_map_rows"] = timed(
-        "dedup_lsh",
-        lambda: run_dedup(lsh_candidates(dim=64, n_planes=12, n_tables=4)),
-    )
-    extras["dedup_n_docs"] = dedup_n
-    if os.environ.get("BENCH_DEDUP_EXACT", "0") == "1":
-        extras["dedup_exact_map_rows"] = timed("dedup_exact", lambda: run_dedup(None))
-    demb.unpersist()
-    dnodes.unpersist()
+        def run_dedup(candidate_fn):
+            _, _, dmap, _ = dedup_graph(
+                spark, dnodes, dedges, demb, sim_threshold=0.85,
+                candidate_fn=candidate_fn,
+            )
+            return dmap.count()
+
+        # planes=12/tables=4: 17999/18000 of the exact path's map rows at
+        # 20k docs in 18.8s vs the crossJoin's 450s (planes=10/tables=6
+        # recovers all 18000 at 24.3s) — see BASELINE.md
+        extras["dedup_lsh_map_rows"] = timed(
+            "dedup_lsh",
+            lambda: run_dedup(lsh_candidates(dim=64, n_planes=12, n_tables=4)),
+        )
+        extras["dedup_n_docs"] = dedup_n
+        if os.environ.get("BENCH_DEDUP_EXACT", "0") == "1":
+            extras["dedup_exact_map_rows"] = timed(
+                "dedup_exact", lambda: run_dedup(None)
+            )
+        demb.unpersist()
+        dnodes.unpersist()
 
     total = round(sum(timings.values()), 3)
     # PageRank throughput = iterations × |E| / seconds
