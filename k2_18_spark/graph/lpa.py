@@ -45,6 +45,11 @@ from k2_18_spark.graph.adjacency import metrics_view, vertex_ids
 
 log = logging.getLogger(__name__)
 
+# rounds in which the changed-label frontier actually pruned the vote
+# join during the most recent run (observability for tests/bench —
+# same pattern as pagerank.LAST_RUN_ITERATIONS)
+LAST_RUN_FRONTIER_ROUNDS = 0
+
 
 def undirected_projection(edges: DataFrame) -> DataFrame:
     """U2: canonical-pair projection, bidirectional weights summed
@@ -70,6 +75,7 @@ def label_propagation(
     job_name: str = "lpa",
     num_partitions: int | None = None,
     vote_round: int | None = None,
+    use_frontier: bool = True,
 ) -> DataFrame:
     """→ (id, cluster_id) — sequential ids by min member order (T6).
 
@@ -77,19 +83,23 @@ def label_propagation(
     to this many decimals before the argmax — makes tie-breaking
     agree bit-for-bit with an external SQL oracle summing the same
     weights in a different order (use ≥ 9 so only float noise rounds
-    away)."""
+    away).
+
+    ``use_frontier``: enable the changed-label frontier (provably
+    trajectory-identical; False forces full votes every round — used by
+    the equivalence test)."""
     from k2_18_spark.session import superstep_conf
 
     with superstep_conf(spark):
         return _lpa_loop(
             spark, edges, nodes, max_iter, checkpoint_dir, job_name,
-            num_partitions, vote_round,
+            num_partitions, vote_round, use_frontier,
         )
 
 
 def _lpa_loop(
     spark, edges, nodes, max_iter, checkpoint_dir, job_name, num_partitions,
-    vote_round,
+    vote_round, use_frontier=True,
 ) -> DataFrame:
     from k2_18_spark.graph.adjacency import dense_vertex_ids
 
@@ -168,6 +178,9 @@ def _lpa_loop(
     # keeps the optimization safe at 10^9-vertex scale)
     max_frontier_broadcast = min(max(n // 4, 1), 4_000_000)
 
+    global LAST_RUN_FRONTIER_ROUNDS
+    LAST_RUN_FRONTIER_ROUNDS = 0
+
     prev_changed = None
     for it in range(start_iter, max_iter):
         # CHANGED-LABEL FRONTIER: an active vertex's argmax can only
@@ -181,7 +194,8 @@ def _lpa_loop(
         frontier = None
         c1, c2 = changed_dfs.get(it - 1), changed_dfs.get(it - 2)
         if (
-            it >= start_iter + 2
+            use_frontier
+            and it >= start_iter + 2
             and it >= 2
             and c1 is not None
             and c2 is not None
@@ -201,6 +215,7 @@ def _lpa_loop(
                 # scan of the persisted half + broadcast semi-filter —
                 # no shuffle on the edge side
                 active_edges = active_edges.join(F.broadcast(frontier), "v")
+                LAST_RUN_FRONTIER_ROUNDS += 1
             # else: hub-dense frontier — full vote is cheaper than a
             # giant broadcast; correctness unaffected either way
 

@@ -140,3 +140,43 @@ def test_lpa_kill_resume_mid_iteration(spark, tmp_ckpt):
     store = CheckpointStore(spark, tmp_ckpt, "lpa", state_version="encoded-long-v2")
     iters = {r["iteration"] for r in store.lineage().collect()}
     assert {0, 1, 2} <= iters and max(iters) >= 3
+
+
+def test_lpa_frontier_engages_and_matches_full_votes(spark):
+    """On a convergent clustered graph the changed-label frontier must
+    actually ENGAGE (prune the vote join in ≥1 round) and produce the
+    bit-identical trajectory of the full-vote path."""
+    from k2_18_spark.graph import lpa as lpa_mod
+
+    # a 60-vertex chain (persistent ~30-vertex churn wavefront) among
+    # 540 isolated vertices: n=600 → gate n//4=150, churn ≈ 60 ≪ gate,
+    # and labels keep moving for many rounds — the frontier must engage
+    # from round 2 while the trajectory is still live
+    rows = [(f"c{i:03d}", f"c{i+1:03d}", "REL", 1.0) for i in range(59)]
+    edges = spark.createDataFrame(
+        rows, "src_id string, dst_id string, edge_type string, weight double"
+    )
+    nodes = spark.createDataFrame(
+        [(f"c{i:03d}",) for i in range(60)]
+        + [(f"iso{i:03d}",) for i in range(540)],
+        "id string",
+    )
+    with_frontier = sorted(
+        map(
+            tuple,
+            label_propagation(
+                spark, edges, nodes=nodes, max_iter=8, use_frontier=True
+            ).collect(),
+        )
+    )
+    assert lpa_mod.LAST_RUN_FRONTIER_ROUNDS >= 1, "frontier never engaged"
+    without = sorted(
+        map(
+            tuple,
+            label_propagation(
+                spark, edges, nodes=nodes, max_iter=8, use_frontier=False
+            ).collect(),
+        )
+    )
+    assert lpa_mod.LAST_RUN_FRONTIER_ROUNDS == 0  # disabled path
+    assert with_frontier == without
