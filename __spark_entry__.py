@@ -413,6 +413,47 @@ def q_graph_dedup_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup_map_df(spark, sf_dir)
 
 
+def q_graph_prereq_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: SCC condensation + topological longest-path DP
+    (prerequisite_depth / learning_effort) over the doc-chain graph as
+    PREREQUISITE edges (acyclic ⇒ the oracle is a recursive path CTE;
+    cyclic semantics are golden/nx-tested in tests/test_scc.py)."""
+    from k2_18_spark.graph.scc import prerequisite_metrics
+
+    docs = _load(spark, sf_dir, "documents")
+    nodes = docs.select(F.concat(F.lit("D"), F.col("doc_id")).alias("id"))
+    edges = _doc_chain_edges(spark, sf_dir).withColumn(
+        "edge_type", F.lit("PREREQUISITE")
+    )
+    return prerequisite_metrics(spark, edges, nodes).select(
+        "id",
+        F.col("prerequisite_depth").cast("int").alias("prerequisite_depth"),
+        F.round("learning_effort", 6).alias("learning_effort"),
+    )
+
+
+def q_refiner_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refiner candidate generation (J4+P8+T4): forward-pass top-k
+    similar pairs per source with the position-order predicate."""
+    from k2_18_spark.pipeline.refiner import candidate_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    nodes = docs.select(
+        F.concat(F.lit("d:c:"), F.col("doc_id")).alias("id"),
+        F.lit("Chunk").alias("type"),
+        "text",
+    )
+    embeddings = _load(spark, sf_dir, "embeddings").select(
+        F.concat(F.lit("d:c:"), F.col("vec_id")).alias("node_id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    return candidate_pairs(
+        nodes, embeddings, sim_threshold=0.3, max_pairs_per_node=20
+    ).select(
+        "source_id", "target_id", F.round("similarity", 6).alias("similarity")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -438,6 +479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk": q_emb_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
         "graph_dedup_map": q_graph_dedup_map,
+        "graph_prereq_depth": q_graph_prereq_depth,
+        "refiner_candidates": q_refiner_candidates,
     }
 
 
@@ -810,6 +853,50 @@ def oracle_sql() -> dict[str, str]:
             edges_sql=_DOC_CHAIN_SQL
         ),
         "graph_lpa": _lpa_oracle(_CO_SUPPLIER_SQL),
+        # G5 prerequisite metrics on the acyclic chain graph: longest
+        # path per vertex via a recursive path CTE, difficulty 3/vertex
+        "graph_prereq_depth": f"""
+            WITH RECURSIVE
+            e AS MATERIALIZED ({_DOC_CHAIN_SQL}),
+            verts AS MATERIALIZED (
+                SELECT 'D' || doc_id AS id FROM documents),
+            paths(id, depth, effort) AS (
+                SELECT v.id, 0, CAST(3 AS DOUBLE) FROM verts v
+                WHERE v.id NOT IN (SELECT dst_id FROM e)
+                UNION ALL
+                SELECT e.dst_id, p.depth + 1, p.effort + 3
+                FROM paths p JOIN e ON e.src_id = p.id
+            )
+            SELECT id, CAST(MAX(depth) AS INT) AS prerequisite_depth,
+                   ROUND(MAX(effort), 6) AS learning_effort
+            FROM paths GROUP BY id
+        """,
+        # refiner forward-pass candidates: position-ordered pairs,
+        # top-20 per source by similarity (ties → smaller target id)
+        "refiner_candidates": """
+            WITH e AS MATERIALIZED (
+                SELECT 'd:c:' || d.doc_id AS id, d.doc_id AS pos,
+                       m.embedding::DOUBLE[] AS v
+                FROM documents d
+                JOIN embeddings m ON m.vec_id = d.doc_id
+                WHERE d.text IS NOT NULL AND trim(d.text) <> ''
+            ),
+            pairs AS (
+                SELECT a.id AS source_id, b.id AS target_id,
+                       list_cosine_similarity(a.v, b.v) AS sim
+                FROM e a JOIN e b ON a.pos < b.pos
+                WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+            ),
+            ranked AS (
+                SELECT source_id, target_id, sim,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source_id
+                           ORDER BY sim DESC, target_id ASC) rn
+                FROM pairs
+            )
+            SELECT source_id, target_id, ROUND(sim, 6) AS similarity
+            FROM ranked WHERE rn <= 20
+        """,
         # composed dedup pipeline: pairs → master-by-position → transitive
         # closure (union-find) → final master = min initial-master else min
         # id → max similarity per duplicate (k2_18_spark/pipeline/
