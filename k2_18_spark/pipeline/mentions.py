@@ -73,6 +73,87 @@ def mine_mentions(
     )
 
 
+def mine_mentions_indexed(
+    chunks: DataFrame,
+    concepts: DataFrame,
+    existing_edges: DataFrame | None = None,
+    weight: float = AUTO_MENTIONS_WEIGHT,
+) -> DataFrame:
+    """Inverted-index scale path for ``mine_mentions`` — same output
+    (tested equal), different join shape for dictionaries too big to
+    broadcast:
+
+    1. tokenize chunk text into distinct unicode word runs (JVM split)
+    2. key every term by its FIRST token
+    3. equi-join chunk-tokens ⋈ term-index on the token → candidate
+       (chunk, term) pairs — only chunks that contain the term's first
+       word, instead of |chunks|·|terms| regex evaluations
+    4. word-boundary regexp verify on the candidates only
+
+    Any ``\\bterm\\b`` match implies the term's first word run appears
+    as a full token of the chunk (the boundary makes it maximal), so
+    the candidate set is a superset of the matches and step 4 restores
+    exactness. Terms with no leading word run (pure punctuation —
+    vanishingly rare) fall back to the broadcast path and union in.
+    """
+    term_rows = concept_terms(concepts).withColumn(
+        "pattern",
+        F.concat(F.lit(r"\b"), _regex_escape(F.col("term")), F.lit(r"\b")),
+    ).withColumn(
+        "first_tok", F.regexp_extract(F.col("term"), r"[\p{L}\p{N}_]+", 0)
+    )
+    indexed_terms = term_rows.filter(F.col("first_tok") != "")
+    residue_terms = term_rows.filter(F.col("first_tok") == "")
+
+    c = chunks.filter(F.col("type") == "Chunk").select(
+        F.col("id").alias("src_id"), F.lower(F.col("text")).alias("lc_text")
+    )
+    toks = (
+        c.select(
+            "src_id",
+            F.explode(F.split("lc_text", r"[^\p{L}\p{N}_]+")).alias("first_tok"),
+        )
+        .filter(F.col("first_tok") != "")
+        .distinct()
+    )
+    cand = (
+        toks.join(
+            indexed_terms.select("first_tok", "concept_id", "pattern"),
+            "first_tok",
+        )
+        .select("src_id", "concept_id", "pattern")
+        .distinct()
+    )
+    hits = (
+        cand.join(c, "src_id")
+        .filter(F.expr("regexp_like(lc_text, pattern)"))
+        .select("src_id", F.col("concept_id").alias("dst_id"))
+        .distinct()
+    )
+    # punctuation-leading terms (no token key): broadcast regex path
+    res_hits = (
+        c.join(
+            F.broadcast(residue_terms.select("concept_id", "pattern")),
+            F.expr("regexp_like(lc_text, pattern)"),
+        )
+        .select("src_id", F.col("concept_id").alias("dst_id"))
+        .distinct()
+    )
+    hits = hits.unionByName(res_hits).distinct()
+    if existing_edges is not None:
+        existing = existing_edges.filter(
+            F.col("edge_type") == "MENTIONS"
+        ).select("src_id", "dst_id")
+        hits = hits.join(existing, ["src_id", "dst_id"], "left_anti")
+    return hits.select(
+        "src_id",
+        "dst_id",
+        F.lit("MENTIONS").alias("edge_type"),
+        F.lit(float(weight)).alias("weight"),
+        F.lit("auto_generated").alias("conditions"),
+    )
+
+
 # -- F9: final ID assignment ---------------------------------------------------
 
 def assign_final_ids(

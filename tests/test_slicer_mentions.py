@@ -110,3 +110,49 @@ def test_assign_final_ids(spark):
     assert got["tmp2"] == "alg:q:100:0"
     assert got["tmp3"] == "alg:q:100:1"
     assert got["tmp4"] == "tmp4"
+
+
+def test_mentions_indexed_equals_broadcast(spark):
+    """The inverted-index scale path produces the identical MENTIONS
+    edge set as the broadcast nested-loop path on a corpus with
+    multiword terms, aliases, hyphen boundaries and Cyrillic."""
+    from k2_18_spark.pipeline.mentions import (
+        mine_mentions,
+        mine_mentions_indexed,
+    )
+
+    chunks = spark.createDataFrame(
+        [
+            ("c1", "Chunk", "The binary tree holds sorted keys."),
+            ("c2", "Chunk", "A cat-alog of cat pictures."),
+            ("c3", "Chunk", "catalog entries only"),
+            ("c4", "Chunk", "Текст про код и кодекс."),
+            ("c5", "Chunk", "binary star, not a tree"),
+            ("c6", "Concept", "binary tree"),  # non-Chunk ignored
+        ],
+        "id string, type string, text string",
+    )
+    concepts = spark.createDataFrame(
+        [
+            ("p1", ("binary tree", ["search tree"]), ""),
+            ("p2", ("cat", None), ""),
+            ("p3", ("код", None), ""),
+        ],
+        "concept_id string, term struct<primary string, aliases array<string>>, definition string",
+    )
+    existing = spark.createDataFrame(
+        [("c1", "p1", "MENTIONS", 0.35)],
+        "src_id string, dst_id string, edge_type string, weight double",
+    )
+    for ex in (None, existing):
+        a = sorted(map(tuple, mine_mentions(chunks, concepts, ex).collect()))
+        b = sorted(
+            map(tuple, mine_mentions_indexed(chunks, concepts, ex).collect())
+        )
+        assert a == b, (ex is not None, a, b)
+    # sanity: the hyphen-delimited 'cat' matched, the 'catalog' one not
+    got = {
+        (r["src_id"], r["dst_id"])
+        for r in mine_mentions(chunks, concepts).collect()
+    }
+    assert ("c2", "p2") in got and ("c3", "p2") not in got
