@@ -45,6 +45,36 @@ def filter_dedup_nodes(nodes: DataFrame) -> DataFrame:
     )
 
 
+# auto candidate-path tier boundary: inputs at or below this row count
+# use the exact all-pairs path (parity; n² is trivial here), above it
+# the bucketed hyperplane-LSH path (same idiom as SCC method="auto" and
+# the two-tier union-find). ~5k docs ⇒ ≤12.5M scored pairs, the point
+# where all-pairs stops being free on a 32-core box.
+AUTO_EXACT_MAX = 5_000
+
+
+def resolve_candidate_fn(
+    vectors: DataFrame, candidate_fn, auto_exact_max: int = AUTO_EXACT_MAX
+):
+    """Resolve the ``candidate_fn`` contract shared by
+    find_duplicate_pairs / dedup_graph / refiner.candidate_pairs:
+
+    - ``"auto"`` (the default everywhere): count the input once; exact
+      all-pairs at or below ``auto_exact_max`` rows, bucketed LSH above
+      (dim read from the first vector). Candidates only lose recall,
+      never precision, so the switch is safe-by-construction.
+    - ``None``: exact all-pairs (explicit parity pin).
+    - any callable: used as-is (e.g. ``lsh_candidates(dim=...)``).
+    """
+    if candidate_fn == "auto":
+        if vectors.count() <= auto_exact_max:
+            return exact_candidates
+        first = vectors.select("vector").first()
+        dim = len(first["vector"]) if first else 0
+        return lsh_candidates(dim=dim)
+    return candidate_fn or exact_candidates
+
+
 def exact_candidates(vectors: DataFrame) -> DataFrame:
     """All-pairs candidate generation → (id_a, id_b), id_a < id_b.
 
@@ -93,7 +123,8 @@ def find_duplicate_pairs(
     embeddings: DataFrame,
     sim_threshold: float = 0.85,
     len_ratio_min: float = 0.8,
-    candidate_fn=None,
+    candidate_fn="auto",
+    auto_exact_max: int = AUTO_EXACT_MAX,
 ) -> DataFrame:
     """J4 → (master_id, duplicate_id, similarity).
 
@@ -101,20 +132,21 @@ def find_duplicate_pairs(
     Master choice: lower position, ties by lower id (reference
     src/dedup.py:208-221).
 
-    ``candidate_fn``: (id, vector) DataFrame → (id_a, id_b) candidate
-    pairs with id_a < id_b. Defaults to ``exact_candidates`` (all
-    pairs — fixture parity); pass ``lsh_candidates(dim=...)`` for the
-    bucketed O(Σ bucket²) scale path. Every candidate is exact-scored,
-    so a candidate_fn can only lose pairs (recall), never corrupt the
-    kept ones (precision is exact either way)."""
+    ``candidate_fn``: see ``resolve_candidate_fn`` — ``"auto"``
+    (default) size-switches exact↔LSH at ``auto_exact_max`` rows;
+    ``None`` pins exact all-pairs; or pass ``lsh_candidates(dim=...)``
+    directly. Every candidate is exact-scored, so a candidate_fn can
+    only lose pairs (recall), never corrupt the kept ones (precision
+    is exact either way)."""
     cand = filter_dedup_nodes(nodes).select(
         "id", "pos", F.length("text").alias("tlen")
     )
     e = cand.join(
         embeddings.select(F.col("node_id").alias("id"), "vector"), "id"
     )
-    gen = candidate_fn or exact_candidates
-    id_pairs = gen(e.select("id", "vector"))
+    vecs = e.select("id", "vector")
+    gen = resolve_candidate_fn(vecs, candidate_fn, auto_exact_max)
+    id_pairs = gen(vecs)
 
     attrs_a = e.select(
         F.col("id").alias("id_a"),
@@ -235,12 +267,15 @@ def dedup_graph(
     sim_threshold: float = 0.85,
     len_ratio_min: float = 0.8,
     validate: bool = False,
-    candidate_fn=None,
+    candidate_fn="auto",
+    auto_exact_max: int = AUTO_EXACT_MAX,
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
     """→ (nodes_out, edges_out, dedup_map, stats).
 
-    ``candidate_fn``: see find_duplicate_pairs — None = exact all-pairs
-    (fixture parity), ``lsh_candidates(dim=...)`` = bucketed scale path.
+    ``candidate_fn``: see ``resolve_candidate_fn`` — ``"auto"``
+    (default) size-switches exact↔LSH at ``auto_exact_max`` input
+    rows, ``None`` pins exact all-pairs (fixture parity),
+    ``lsh_candidates(dim=...)`` pins the bucketed scale path.
 
     ``validate=True`` runs the stage-boundary invariant validator on the
     output graph (the reference validates after every stage —
@@ -254,7 +289,12 @@ def dedup_graph(
     # count — without it the whole candidate-generation + scoring plan
     # re-executes per downstream action (measured 4-5× end-to-end cost)
     pairs = find_duplicate_pairs(
-        nodes, embeddings, sim_threshold, len_ratio_min, candidate_fn=candidate_fn
+        nodes,
+        embeddings,
+        sim_threshold,
+        len_ratio_min,
+        candidate_fn=candidate_fn,
+        auto_exact_max=auto_exact_max,
     ).localCheckpoint(eager=True)
     dedup_map = build_dedup_map(spark, pairs).cache()
 

@@ -20,6 +20,13 @@ from pyspark.sql import functions as F
 
 AUTO_MENTIONS_WEIGHT = 0.35  # reference src/config.toml:82
 
+# auto method tier boundary: term tables at or below this row count use
+# the broadcast-regex path (one broadcast, zero extra shuffles); larger
+# dictionaries switch to the inverted-index equi-join, which never
+# broadcasts the terms. ~100k terms ≈ a few MB broadcast — comfortably
+# inside Spark's 8 MB-ish broadcast sweet spot, far below the 1 GB cap.
+BROADCAST_MAX_TERMS = 100_000
+
 
 def _regex_escape(col):
     """Escape regex metacharacters (re.escape equivalent, JVM-side)."""
@@ -45,9 +52,23 @@ def mine_mentions(
     concepts: DataFrame,
     existing_edges: DataFrame | None = None,
     weight: float = AUTO_MENTIONS_WEIGHT,
+    method: str = "auto",
+    broadcast_max_terms: int = BROADCAST_MAX_TERMS,
 ) -> DataFrame:
     """→ MENTIONS edge table (src_id, dst_id, edge_type, weight,
-    conditions). ``chunks`` needs (id, type, text)."""
+    conditions). ``chunks`` needs (id, type, text).
+
+    ``method``: ``"auto"`` (default) counts the exploded term table
+    once and picks ``"broadcast"`` at or below ``broadcast_max_terms``
+    rows, ``"indexed"`` (mine_mentions_indexed, tested output-equal)
+    above — same idiom as dedup's candidate_fn="auto"."""
+    if method == "auto":
+        n_terms = concept_terms(concepts).count()
+        method = "broadcast" if n_terms <= broadcast_max_terms else "indexed"
+    if method == "indexed":
+        return mine_mentions_indexed(chunks, concepts, existing_edges, weight)
+    if method != "broadcast":
+        raise ValueError(f"unknown mentions method: {method!r}")
     terms = concept_terms(concepts).withColumn(
         "pattern", F.concat(F.lit(r"\b"), _regex_escape(F.col("term")), F.lit(r"\b"))
     )

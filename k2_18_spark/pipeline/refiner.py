@@ -26,20 +26,28 @@ def candidate_pairs(
     sim_threshold: float = 0.75,
     max_pairs_per_node: int = 20,
     direction: str = "forward",
-    candidate_fn=None,
+    candidate_fn="auto",
+    auto_exact_max: int | None = None,
 ) -> DataFrame:
     """→ (source_id, target_id, similarity), position-ordered, top-k
     per source.
 
     ``candidate_fn``: (id, vector) DataFrame → (id_a, id_b) unordered
     candidate pairs with id_a < id_b (same contract as
-    dedup_pipeline.find_duplicate_pairs). None = all pairs (fixture
-    parity — the reference uses FAISS k-NN here precisely to avoid
-    all-pairs, src/refiner_longrange.py:473-600); pass
-    ``dedup_pipeline.lsh_candidates(dim=...)`` for the bucketed scale
-    path. Orientation (source = earlier position for the forward pass,
-    later for backward) is applied AFTER candidate generation, so both
-    passes share one candidate set."""
+    dedup_pipeline.find_duplicate_pairs). ``"auto"`` (default)
+    size-switches exact↔LSH at ``auto_exact_max`` input rows
+    (dedup_pipeline.AUTO_EXACT_MAX when None); None = all pairs
+    (fixture parity — the reference uses FAISS k-NN here precisely to
+    avoid all-pairs, src/refiner_longrange.py:473-600); pass
+    ``dedup_pipeline.lsh_candidates(dim=...)`` to pin the bucketed
+    scale path. Orientation (source = earlier position for the forward
+    pass, later for backward) is applied AFTER candidate generation,
+    so both passes share one candidate set."""
+    from k2_18_spark.pipeline.dedup_pipeline import (
+        AUTO_EXACT_MAX,
+        resolve_candidate_fn,
+    )
+
     c = (
         nodes.filter(
             (F.col("type") == "Chunk")
@@ -50,11 +58,11 @@ def candidate_pairs(
         .select("id", "pos")
         .join(embeddings.select(F.col("node_id").alias("id"), "vector"), "id")
     )
-    if candidate_fn is None:
-        from k2_18_spark.pipeline.dedup_pipeline import exact_candidates
-
-        candidate_fn = exact_candidates
-    id_pairs = candidate_fn(c.select("id", "vector"))
+    vecs = c.select("id", "vector")
+    candidate_fn = resolve_candidate_fn(
+        vecs, candidate_fn, auto_exact_max or AUTO_EXACT_MAX
+    )
+    id_pairs = candidate_fn(vecs)
 
     a = c.select(
         F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), F.col("vector").alias("va")
@@ -86,16 +94,45 @@ def candidate_pairs(
 
 
 def attach_existing_edges(pairs: DataFrame, edges: DataFrame) -> DataFrame:
-    """J5: collect existing A→B and B→A edges per candidate pair."""
-    fwd = edges.groupBy(
-        F.col("src_id").alias("source_id"), F.col("dst_id").alias("target_id")
-    ).agg(
-        F.collect_list(F.struct("edge_type", "weight")).alias("existing_forward")
+    """J5: collect existing A→B and B→A edges per candidate pair.
+
+    The edge table is semi-joined against the candidate pairs BEFORE
+    the collect_list aggregations: edges are the largest table in the
+    system, and aggregating all of them to then left-join a small pair
+    set would shuffle O(|E|) twice for rows that are almost all
+    discarded. With the semi-join the edge-side shuffle is O(|pairs|)
+    matched rows only; output is identical (left join + coalesce to
+    empty array covers pairs with no existing edges either way)."""
+    keys = pairs.select("source_id", "target_id")
+    fwd = (
+        edges.select(
+            F.col("src_id").alias("source_id"),
+            F.col("dst_id").alias("target_id"),
+            "edge_type",
+            "weight",
+        )
+        .join(keys, ["source_id", "target_id"], "left_semi")
+        .groupBy("source_id", "target_id")
+        .agg(
+            F.collect_list(F.struct("edge_type", "weight")).alias(
+                "existing_forward"
+            )
+        )
     )
-    bwd = edges.groupBy(
-        F.col("dst_id").alias("source_id"), F.col("src_id").alias("target_id")
-    ).agg(
-        F.collect_list(F.struct("edge_type", "weight")).alias("existing_backward")
+    bwd = (
+        edges.select(
+            F.col("dst_id").alias("source_id"),
+            F.col("src_id").alias("target_id"),
+            "edge_type",
+            "weight",
+        )
+        .join(keys, ["source_id", "target_id"], "left_semi")
+        .groupBy("source_id", "target_id")
+        .agg(
+            F.collect_list(F.struct("edge_type", "weight")).alias(
+                "existing_backward"
+            )
+        )
     )
     return (
         pairs.join(fwd, ["source_id", "target_id"], "left")
