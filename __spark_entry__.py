@@ -454,6 +454,256 @@ def q_refiner_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _typed_doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed chain edges (PREREQUISITE/ELABORATES/TESTS/MENTIONS by
+    doc_id%4, weight 0.5+(doc_id%5)/10) — the doc-chain graph with the
+    reference's edge-type/weight vocabulary, for the type-sensitive
+    operators (G2 edu importance, J7 upsert)."""
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    a, b = d.alias("a"), d.alias("b")
+    types = F.array(
+        F.lit("PREREQUISITE"), F.lit("ELABORATES"), F.lit("TESTS"), F.lit("MENTIONS")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 20)
+            & (F.pmod(F.col("a.doc_id"), F.lit(100)) < 80),
+        )
+        .select(
+            F.concat(F.lit("D"), F.col("a.doc_id")).alias("src_id"),
+            F.concat(F.lit("D"), F.col("b.doc_id")).alias("dst_id"),
+            F.element_at(types, (F.pmod(F.col("a.doc_id"), F.lit(4)) + 1).cast("int"))
+            .alias("edge_type"),
+            (
+                F.lit(0.5) + F.pmod(F.col("a.doc_id"), F.lit(5)) / F.lit(10.0)
+            ).alias("weight"),
+        )
+    )
+
+
+_TYPED_DOC_SQL = """
+SELECT 'D' || a.doc_id AS src_id,
+       'D' || b.doc_id AS dst_id,
+       (['PREREQUISITE','ELABORATES','TESTS','MENTIONS'])[a.doc_id % 4 + 1]
+           AS edge_type,
+       CAST(0.5 AS DOUBLE) + (a.doc_id % 5) / CAST(10.0 AS DOUBLE) AS weight
+FROM documents a
+JOIN documents b
+  ON b.doc_id = a.doc_id + 20
+ AND a.doc_id % 100 < 80
+"""
+
+
+def q_graph_edu_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: PageRank on the educational-type edge subgraph with ALL
+    vertices retained (isolated nodes keep teleport mass) — reference
+    viz/graph2metrics.py:620-665."""
+    from k2_18_spark.graph.pagerank import educational_importance
+
+    docs = _load(spark, sf_dir, "documents")
+    nodes = docs.select(F.concat(F.lit("D"), F.col("doc_id")).alias("id"))
+    ranks = educational_importance(
+        spark, _typed_doc_edges(spark, sf_dir), nodes=nodes, hub_top_k=32
+    )
+    return ranks.select(
+        "id", F.round("rank", 6).alias("educational_importance")
+    )
+
+
+def q_concept_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/F10: word-boundary concept-mention mining. The concept
+    dictionary is derived deterministically from the corpus itself: the
+    top-20 most frequent all-alphanumeric tokens of length ≥4
+    (count desc, term asc) — so the oracle can rebuild it in SQL."""
+    from k2_18_spark.pipeline.mentions import mine_mentions
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t")
+        )
+        .filter((F.length("t") >= 4) & F.col("t").rlike("^[a-z0-9]+$"))
+        .groupBy("t")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("t").asc())
+        .limit(20)
+    )
+    terms = [r["t"] for r in toks.collect()]
+    concepts = spark.createDataFrame(
+        [(f"concept:{t}", (t, []), "synthetic") for t in terms],
+        "concept_id string, "
+        "term struct<primary:string, aliases:array<string>>, "
+        "definition string",
+    )
+    chunks = docs.select(
+        F.concat(F.lit("d:c:"), F.col("doc_id")).alias("id"),
+        F.lit("Chunk").alias("type"),
+        "text",
+    )
+    return mine_mentions(chunks, concepts)
+
+
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: cluster sizes + singleton flag over the LPA clustering of
+    the co-supplier graph (viz/anomaly_detector.py:438-450)."""
+    from k2_18_spark.graph.lpa import label_propagation
+
+    clusters = label_propagation(
+        spark, _graph_edges(spark, sf_dir), vote_round=9
+    )
+    return clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("size"),
+        (F.count(F.lit(1)) == 1).alias("is_singleton"),
+    )
+
+
+def q_metric_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: min/max/mean per degree metric (viz/anomaly_detector.py:
+    634-742) over the co-supplier graph degrees."""
+    from k2_18_spark.operators.anomalies import metric_summary
+    from k2_18_spark.operators.degrees import degrees
+
+    summ = metric_summary(
+        degrees(_graph_edges(spark, sf_dir)),
+        ["degree_in", "degree_out", "degree_centrality"],
+    )
+    return summ.select(
+        F.col("degree_in_min").cast("long").alias("degree_in_min"),
+        F.col("degree_in_max").cast("long").alias("degree_in_max"),
+        F.round("degree_in_mean", 6).alias("degree_in_mean"),
+        F.col("degree_out_min").cast("long").alias("degree_out_min"),
+        F.col("degree_out_max").cast("long").alias("degree_out_max"),
+        F.round("degree_out_mean", 6).alias("degree_out_mean"),
+        F.round("degree_centrality_min", 6).alias("degree_centrality_min"),
+        F.round("degree_centrality_max", 6).alias("degree_centrality_max"),
+        F.round("degree_centrality_mean", 6).alias("degree_centrality_mean"),
+    )
+
+
+def q_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: IQR outlier rows (Q1/Q3 ± 1.5·IQR) on the events value
+    column (viz/anomaly_detector.py:463-530). accuracy=1e6 makes
+    percentile_approx exact at this n (≡ DuckDB quantile_disc)."""
+    from k2_18_spark.operators.anomalies import iqr_outliers
+
+    ev = _load(spark, sf_dir, "events").select("event_id", "value")
+    return iqr_outliers(ev, "value", accuracy=1_000_000)
+
+
+def q_course_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: parse {slug}:c:{position} Chunk ids, order by position alone
+    (reference viz/graph2metrics.py:1582-1635); Assessments and
+    non-positional ids are skipped."""
+    from k2_18_spark.pipeline.paths import course_sequence
+
+    docs = _load(spark, sf_dir, "documents")
+    nodes = docs.select(
+        F.when(
+            F.pmod("doc_id", F.lit(5)) != 0,
+            F.concat(F.lit("src"), F.col("source"), F.lit(":c:"), F.col("doc_id")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("src"), F.col("source"), F.lit(":q:"), F.col("doc_id"), F.lit(":0")
+            )
+        )
+        .alias("id"),
+        F.when(F.pmod("doc_id", F.lit(5)) != 0, F.lit("Chunk"))
+        .otherwise(F.lit("Assessment"))
+        .alias("type"),
+        F.col("text"),
+    )
+    seq = course_sequence(nodes)
+    return seq.select(
+        "id", "slug", "position", F.col("sequence_order").cast("int").alias("sequence_order")
+    )
+
+
+def q_edge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: edge-upsert merge (src/refiner_longrange.py:1021-1193) —
+    existing = typed chain edges, new batch = re-typed chain edges
+    (update/replace/keep mix) + fresh +40 HINT_FORWARD pairs (adds)."""
+    from k2_18_spark.pipeline.upsert import upsert_edges
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    a, b = d.alias("a"), d.alias("b")
+    retype = F.array(
+        F.lit("PREREQUISITE"), F.lit("ELABORATES"), F.lit("EXAMPLE_OF")
+    )
+    upgrades = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 20)
+            & (F.pmod(F.col("a.doc_id"), F.lit(100)) < 80),
+        )
+        .select(
+            F.concat(F.lit("D"), F.col("a.doc_id")).alias("src_id"),
+            F.concat(F.lit("D"), F.col("b.doc_id")).alias("dst_id"),
+            F.element_at(
+                retype, (F.pmod(F.col("a.doc_id"), F.lit(3)) + 1).cast("int")
+            ).alias("edge_type"),
+            (
+                F.lit(0.05) + F.pmod(F.col("a.doc_id"), F.lit(10)) / F.lit(10.0)
+            ).alias("weight"),
+        )
+    )
+    adds = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 40)
+            & (F.pmod(F.col("a.doc_id"), F.lit(100)) < 60),
+        )
+        .select(
+            F.concat(F.lit("D"), F.col("a.doc_id")).alias("src_id"),
+            F.concat(F.lit("D"), F.col("b.doc_id")).alias("dst_id"),
+            F.lit("HINT_FORWARD").alias("edge_type"),
+            F.lit(0.6).alias("weight"),
+        )
+    )
+    merged, _ = upsert_edges(
+        _typed_doc_edges(spark, sf_dir), upgrades.unionByName(adds)
+    )
+    return merged.select(
+        "src_id",
+        "dst_id",
+        "edge_type",
+        F.round("weight", 6).alias("weight"),
+        "conditions",
+    )
+
+
+def q_graph_centrality_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6+G7+G9: exact weighted Brandes betweenness, Wasserman–Faust
+    out-closeness, and bridge score (0.7·betweenness + 0.3·inter-
+    cluster neighbor ratio, clusters = (doc_id/40)%2) on the unit-
+    weight doc-chain graph — unique shortest paths make the SQL oracle
+    exact."""
+    from k2_18_spark.graph.centrality import betweenness_closeness
+    from k2_18_spark.operators.graph_ops import bridge_scores
+
+    edges = _doc_chain_edges(spark, sf_dir)
+    cent = betweenness_closeness(spark, edges)
+    clusters = _load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("D"), F.col("doc_id")).alias("id"),
+        F.pmod(F.floor(F.col("doc_id") / 40), F.lit(2)).cast("int").alias(
+            "cluster_id"
+        ),
+    )
+    bridge = bridge_scores(
+        edges, clusters, cent.select("id", "betweenness_centrality")
+    )
+    return (
+        cent.join(bridge, "id")
+        .select(
+            "id",
+            F.round("betweenness_centrality", 9).alias("betweenness"),
+            F.round("out_closeness", 9).alias("out_closeness"),
+            F.round("bridge_score", 9).alias("bridge_score"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -481,6 +731,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_dedup_map": q_graph_dedup_map,
         "graph_prereq_depth": q_graph_prereq_depth,
         "refiner_candidates": q_refiner_candidates,
+        "graph_edu_importance": q_graph_edu_importance,
+        "concept_mentions": q_concept_mentions,
+        "cluster_sizes": q_cluster_sizes,
+        "metric_summary": q_metric_summary,
+        "anomaly_iqr": q_anomaly_iqr,
+        "course_sequence": q_course_sequence,
+        "edge_upsert": q_edge_upsert,
+        "graph_centrality_bridge": q_graph_centrality_bridge,
     }
 
 
@@ -565,6 +823,51 @@ reach(id, lbl) AS (
 comp AS (SELECT id, MIN(lbl) AS minlbl FROM reach GROUP BY id)
 SELECT id, CAST(DENSE_RANK() OVER (ORDER BY minlbl) - 1 AS INT) AS component_id
 FROM comp
+"""
+
+
+# same power iteration as _PAGERANK_ORACLE but with an EXPLICIT vertex
+# list (G2 educational importance: all vertices keep teleport mass even
+# when isolated from the type-filtered edge set)
+_PAGERANK_FULLV_ORACLE = """
+WITH RECURSIVE
+e0 AS MATERIALIZED ({edges_sql}),
+outw AS MATERIALIZED (SELECT src_id, SUM(weight) AS ow FROM e0 GROUP BY 1),
+e AS MATERIALIZED (
+    SELECT e0.src_id, e0.dst_id, e0.weight / outw.ow AS frac
+    FROM e0 JOIN outw ON e0.src_id = outw.src_id
+),
+verts AS MATERIALIZED (
+    SELECT v.id, v.id NOT IN (SELECT src_id FROM e0) AS dangling
+    FROM ({verts_sql}) v
+),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts),
+pr(iter, id, rank, dangling, err) AS (
+    SELECT 0, v.id, CAST(1.0 AS DOUBLE) / nn.n, v.dangling, CAST(1e18 AS DOUBLE)
+    FROM verts v CROSS JOIN nn
+    UNION ALL
+    SELECT s.iter, s.id, s.new_rank, s.dangling,
+           SUM(ABS(s.new_rank - s.prev_rank)) OVER ()
+    FROM (
+        SELECT p.iter + 1 AS iter, p.id, p.dangling, p.rank AS prev_rank,
+               0.85 * COALESCE(c.contrib, CAST(0 AS DOUBLE))
+                 + (0.85 * dm.dmass / nn.n
+                    + (CAST(1.0 AS DOUBLE) - 0.85) / nn.n) AS new_rank
+        FROM pr p
+        LEFT JOIN (
+            SELECT p2.iter, e.dst_id AS id, SUM(p2.rank * e.frac) AS contrib
+            FROM pr p2 JOIN e ON p2.id = e.src_id
+            GROUP BY 1, 2
+        ) c ON p.id = c.id AND p.iter = c.iter
+        JOIN (SELECT iter, COALESCE(SUM(CASE WHEN dangling THEN rank END),
+                                    CAST(0 AS DOUBLE)) AS dmass
+              FROM pr GROUP BY iter) dm ON dm.iter = p.iter
+        CROSS JOIN nn
+        WHERE p.err >= nn.n * CAST(1e-6 AS DOUBLE) AND p.iter < 100
+    ) s
+)
+SELECT id, ROUND(rank, 6) AS {out_alias}
+FROM pr WHERE iter = (SELECT MAX(iter) FROM pr)
 """
 
 
@@ -960,6 +1263,246 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_pairs": _minhash_oracle(),
         "doc_simhash_pairs": _simhash_oracle(),
         "emb_lsh_topk": _lsh_topk_oracle(),
+        # G2: PageRank on the educational-type subgraph, all vertices
+        # retained (isolated → pure teleport mass)
+        "graph_edu_importance": _PAGERANK_FULLV_ORACLE.format(
+            edges_sql=(
+                f"SELECT * FROM ({_TYPED_DOC_SQL}) WHERE edge_type IN "
+                "('PREREQUISITE','ELABORATES','TESTS','EXAMPLE_OF')"
+            ),
+            verts_sql="SELECT 'D' || doc_id AS id FROM documents",
+            out_alias="educational_importance",
+        ),
+        # J6/F10: corpus-derived top-20 term dictionary + word-boundary
+        # regex mentions
+        "concept_mentions": rf"""
+            WITH toks AS MATERIALIZED (
+                SELECT unnest({_TOKENS}) AS t FROM documents
+            ),
+            terms AS MATERIALIZED (
+                SELECT t AS term FROM toks
+                WHERE length(t) >= 4 AND regexp_matches(t, '^[a-z0-9]+$')
+                GROUP BY t
+                ORDER BY COUNT(*) DESC, t ASC
+                LIMIT 20
+            )
+            SELECT 'd:c:' || d.doc_id AS src_id,
+                   'concept:' || t.term AS dst_id,
+                   'MENTIONS' AS edge_type,
+                   CAST(0.35 AS DOUBLE) AS weight,
+                   'auto_generated' AS conditions
+            FROM documents d
+            JOIN terms t ON regexp_matches(lower(d.text), '\b' || t.term || '\b')
+        """,
+        # A5: cluster sizes + singleton flag over the LPA clustering
+        "cluster_sizes": (
+            "SELECT cluster_id, COUNT(*) AS size, COUNT(*) = 1 AS is_singleton\n"
+            f"FROM ({_lpa_oracle(_CO_SUPPLIER_SQL)}) GROUP BY 1"
+        ),
+        # A7: min/max/mean per degree metric; means as SUM/COUNT so the
+        # integer sums stay exact
+        "metric_summary": f"""
+            WITH d AS MATERIALIZED (
+                WITH e AS ({_CO_SUPPLIER_SQL}),
+                verts AS (
+                    SELECT src_id AS id FROM e UNION SELECT dst_id FROM e
+                ),
+                ind AS (SELECT dst_id AS id, COUNT(*) AS degree_in
+                        FROM e GROUP BY 1),
+                outd AS (SELECT src_id AS id, COUNT(*) AS degree_out
+                         FROM e GROUP BY 1),
+                n AS (SELECT COUNT(*) AS n FROM verts)
+                SELECT v.id,
+                       CAST(COALESCE(ind.degree_in, 0) AS INT) AS degree_in,
+                       CAST(COALESCE(outd.degree_out, 0) AS INT) AS degree_out,
+                       CASE WHEN n.n <= 1 THEN 1.0
+                            ELSE (COALESCE(ind.degree_in, 0)
+                                  + COALESCE(outd.degree_out, 0))
+                                 / CAST(n.n - 1 AS DOUBLE)
+                       END AS degree_centrality
+                FROM verts v
+                LEFT JOIN ind ON v.id = ind.id
+                LEFT JOIN outd ON v.id = outd.id
+                CROSS JOIN n
+            )
+            SELECT CAST(MIN(degree_in) AS BIGINT) AS degree_in_min,
+                   CAST(MAX(degree_in) AS BIGINT) AS degree_in_max,
+                   ROUND(CAST(SUM(degree_in) AS DOUBLE) / COUNT(*), 6)
+                       AS degree_in_mean,
+                   CAST(MIN(degree_out) AS BIGINT) AS degree_out_min,
+                   CAST(MAX(degree_out) AS BIGINT) AS degree_out_max,
+                   ROUND(CAST(SUM(degree_out) AS DOUBLE) / COUNT(*), 6)
+                       AS degree_out_mean,
+                   ROUND(MIN(degree_centrality), 6) AS degree_centrality_min,
+                   ROUND(MAX(degree_centrality), 6) AS degree_centrality_max,
+                   ROUND(AVG(degree_centrality), 6) AS degree_centrality_mean
+            FROM d
+        """,
+        # A6: IQR fences from exact quantiles (quantile_disc ≡ Spark
+        # percentile_approx in exact mode)
+        "anomaly_iqr": """
+            WITH q AS (
+                SELECT quantile_disc(value, 0.25) AS q1,
+                       quantile_disc(value, 0.75) AS q3
+                FROM events
+            )
+            SELECT event_id, value
+            FROM events, q
+            WHERE value < q.q1 - CAST(1.5 AS DOUBLE) * (q.q3 - q.q1)
+               OR value > q.q3 + CAST(1.5 AS DOUBLE) * (q.q3 - q.q1)
+        """,
+        # T3: course sequence — position-sorted Chunk ids, Assessments
+        # skipped
+        "course_sequence": """
+            WITH chunks AS (
+                SELECT 'src' || source || ':c:' || doc_id AS id,
+                       'src' || source AS slug,
+                       CAST(doc_id AS BIGINT) AS position
+                FROM documents WHERE doc_id % 5 <> 0
+            )
+            SELECT id, slug, position,
+                   CAST(ROW_NUMBER() OVER (ORDER BY position, id) AS INT)
+                       AS sequence_order
+            FROM chunks
+        """,
+        # J7: set-oriented upsert resolution (each (src,dst) unique in
+        # the new batch ⇒ identical to the reference's sequential rule)
+        "edge_upsert": f"""
+            WITH existing AS MATERIALIZED ({_TYPED_DOC_SQL}),
+            new0 AS MATERIALIZED (
+                SELECT 'D' || a.doc_id AS src_id, 'D' || b.doc_id AS dst_id,
+                       (['PREREQUISITE','ELABORATES','EXAMPLE_OF'])[a.doc_id % 3 + 1]
+                           AS edge_type,
+                       CAST(0.05 AS DOUBLE)
+                         + (a.doc_id % 10) / CAST(10.0 AS DOUBLE) AS weight
+                FROM documents a JOIN documents b
+                  ON b.doc_id = a.doc_id + 20 AND a.doc_id % 100 < 80
+                UNION ALL
+                SELECT 'D' || a.doc_id, 'D' || b.doc_id, 'HINT_FORWARD',
+                       CAST(0.6 AS DOUBLE)
+                FROM documents a JOIN documents b
+                  ON b.doc_id = a.doc_id + 40 AND a.doc_id % 100 < 60
+            ),
+            pair_max AS (
+                SELECT src_id, dst_id, MAX(weight) AS pm
+                FROM existing GROUP BY 1, 2
+            ),
+            resolved AS (
+                SELECT n.src_id, n.dst_id, n.edge_type, n.weight,
+                       CASE WHEN pm.pm IS NULL THEN 'added'
+                            WHEN st.old_w IS NOT NULL THEN
+                                CASE WHEN n.weight > st.old_w
+                                     THEN 'updated' ELSE 'kept' END
+                            WHEN n.weight >= pm.pm THEN 'replaced'
+                            ELSE 'kept' END AS outcome
+                FROM new0 n
+                LEFT JOIN pair_max pm
+                       ON n.src_id = pm.src_id AND n.dst_id = pm.dst_id
+                LEFT JOIN (SELECT src_id, dst_id, edge_type,
+                                  weight AS old_w FROM existing) st
+                       ON n.src_id = st.src_id AND n.dst_id = st.dst_id
+                      AND n.edge_type = st.edge_type
+            ),
+            survivors AS (
+                SELECT e.src_id, e.dst_id, e.edge_type,
+                       COALESCE(u.weight, e.weight) AS weight,
+                       CAST(NULL AS VARCHAR) AS conditions
+                FROM existing e
+                LEFT JOIN (SELECT src_id, dst_id, edge_type, weight
+                           FROM resolved WHERE outcome = 'updated') u
+                       ON e.src_id = u.src_id AND e.dst_id = u.dst_id
+                      AND e.edge_type = u.edge_type
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM resolved r
+                    WHERE r.outcome = 'replaced'
+                      AND r.src_id = e.src_id AND r.dst_id = e.dst_id)
+            ),
+            additions AS (
+                SELECT src_id, dst_id, edge_type, weight,
+                       CASE WHEN outcome = 'added'
+                            THEN 'added_by=refiner_longrange_v1'
+                            ELSE 'fixed_by=refiner_longrange_v1'
+                       END AS conditions
+                FROM resolved WHERE outcome IN ('added', 'replaced')
+            )
+            SELECT src_id, dst_id, edge_type,
+                   ROUND(weight, 6) AS weight, conditions
+            FROM (SELECT * FROM survivors UNION ALL SELECT * FROM additions)
+            WHERE NOT (edge_type = 'PREREQUISITE' AND src_id = dst_id)
+        """,
+        # G6+G7+G9 on the unit-weight chain graph: unique shortest paths
+        # ⇒ betweenness delta = |ancestors|·|descendants|, closeness from
+        # the descendant distance sum, both mirroring the engine's exact
+        # float op order (scale = 1.0/((n-1)(n-2)); clo = (r/Σd)·(r/(n-1)))
+        "graph_centrality_bridge": f"""
+            WITH RECURSIVE
+            e AS MATERIALIZED ({_DOC_CHAIN_SQL}),
+            -- subquery wrap: under WITH RECURSIVE, DuckDB 1.0 parses a
+            -- CTE body shaped "SELECT .. UNION SELECT .." as seed+step
+            -- (appending, NOT deduplicating) even without self-reference
+            verts AS MATERIALIZED (
+                SELECT id FROM (
+                    SELECT src_id AS id FROM e UNION SELECT dst_id FROM e
+                )
+            ),
+            nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts),
+            reach(src, dst, d) AS (
+                SELECT src_id, dst_id, 1 FROM e
+                UNION ALL
+                SELECT r.src, e.dst_id, r.d + 1
+                FROM reach r JOIN e ON e.src_id = r.dst
+            ),
+            anc AS (SELECT dst AS id, COUNT(*) AS c FROM reach GROUP BY 1),
+            dsc AS (
+                SELECT src AS id, COUNT(*) AS c, SUM(d) AS sd
+                FROM reach GROUP BY 1
+            ),
+            cent AS (
+                SELECT v.id,
+                       COALESCE(anc.c, 0) * COALESCE(dsc.c, 0)
+                         * (CAST(1.0 AS DOUBLE)
+                            / ((nn.n - CAST(1.0 AS DOUBLE))
+                               * (nn.n - CAST(2.0 AS DOUBLE)))) AS bc,
+                       CASE WHEN COALESCE(dsc.c, 0) > 0
+                            THEN (CAST(dsc.c AS DOUBLE) / dsc.sd)
+                               * (CAST(dsc.c AS DOUBLE)
+                                  / (nn.n - CAST(1.0 AS DOUBLE)))
+                            ELSE CAST(0.0 AS DOUBLE) END AS clo
+                FROM verts v
+                LEFT JOIN anc ON v.id = anc.id
+                LEFT JOIN dsc ON v.id = dsc.id
+                CROSS JOIN nn
+            ),
+            clu AS (
+                SELECT 'D' || doc_id AS id,
+                       CAST((doc_id // 40) % 2 AS INT) AS cluster_id
+                FROM documents
+            ),
+            nbr AS (
+                SELECT DISTINCT id, nbr FROM (
+                    SELECT src_id AS id, dst_id AS nbr FROM e
+                    UNION ALL SELECT dst_id, src_id FROM e
+                ) WHERE id <> nbr
+            ),
+            ratio AS (
+                SELECT n.id,
+                       AVG(CASE WHEN c1.cluster_id <> c2.cluster_id
+                                THEN CAST(1.0 AS DOUBLE)
+                                ELSE CAST(0.0 AS DOUBLE) END) AS r
+                FROM nbr n
+                JOIN clu c1 ON n.id = c1.id
+                JOIN clu c2 ON n.nbr = c2.id
+                GROUP BY 1
+            )
+            SELECT c.id,
+                   ROUND(c.bc, 9) AS betweenness,
+                   ROUND(c.clo, 9) AS out_closeness,
+                   ROUND(CAST(0.7 AS DOUBLE) * c.bc
+                         + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                           * COALESCE(ratio.r, CAST(0.0 AS DOUBLE)), 9)
+                       AS bridge_score
+            FROM cent c LEFT JOIN ratio ON c.id = ratio.id
+        """,
         "graph_degrees": f"""
             WITH e AS ({_CO_SUPPLIER_SQL}),
             verts AS (

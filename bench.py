@@ -11,6 +11,12 @@ Env:
   SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
   BENCH_CHECKPOINT     "1" → checkpoint supersteps to parquet (resume
                        path measured); default localCheckpoint only
+  BENCH_REPEATS        runs per query (default 3); "queries" carries
+                       the per-query MEDIAN, "queries_min" the min,
+                       and "value" the sum of medians — the box's
+                       shared virtual disk swings single-shot walls
+                       2-10× under co-tenant load (r03 postmortem),
+                       medians survive a noisy run
 
 Scaling evidence (no real cluster in this sandbox): run this script at
 SPARK_GRAFT_CPUS=8 and =32 on the same input; efficiency =
@@ -67,7 +73,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     extras: dict[str, float] = {}
     shuffle_mb: dict[str, float] = {}
 
@@ -89,12 +97,24 @@ def main() -> None:
         except Exception:
             return 0
 
-    def timed(name: str, fn):
+    def timed(name: str, fn, n_runs: int | None = None):
+        """Run ``fn`` ``n_runs`` times (default BENCH_REPEATS); record
+        the median wall (noise-robust headline), the min (quiet-box
+        capability), and per-run shuffle bytes (identical across runs
+        when the plan is — the invariant the r03 adjudication leaned
+        on)."""
+        import statistics
+
+        r = n_runs or repeats
+        walls, out = [], None
         s0 = shuffle_written()
-        t0 = time.monotonic()
-        out = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
-        shuffle_mb[name] = round((shuffle_written() - s0) / 1e6, 1)
+        for _ in range(r):
+            t0 = time.monotonic()
+            out = fn()
+            walls.append(time.monotonic() - t0)
+        timings[name] = round(statistics.median(walls), 3)
+        timings_min[name] = round(min(walls), 3)
+        shuffle_mb[name] = round((shuffle_written() - s0) / 1e6 / r, 1)
         return out
 
     # -- build + persist the graph once (generation excluded from algo times)
@@ -125,8 +145,13 @@ def main() -> None:
 
     ckpt_dir = tempfile.mkdtemp(prefix="bench_ckpt_") if use_ckpt else None
 
-    # adjacency prep measured separately (one-time cost, reused per loop)
-    adj = timed("adjacency_prep", lambda: build_adjacency(edges, nodes, hub_top_k=256))
+    # adjacency prep measured separately (one-time cost, reused per
+    # loop; n_runs=1 — repeats would stack persisted adjacency copies)
+    adj = timed(
+        "adjacency_prep",
+        lambda: build_adjacency(edges, nodes, hub_top_k=256),
+        n_runs=1,
+    )
 
     def run_pagerank():
         # tol=1e-9: nx's criterion is err < n·tol, which at bench |V|
@@ -176,6 +201,7 @@ def main() -> None:
             lambda: betweenness_closeness(
                 spark, edges, nodes=nodes, sample_k=8, method="superstep"
             ).count(),
+            n_runs=1,
         )
 
     # graph section done — release its caches so the data-pipeline
@@ -237,7 +263,7 @@ def main() -> None:
         extras["dedup_n_docs"] = dedup_n
         if os.environ.get("BENCH_DEDUP_EXACT", "0") == "1":
             extras["dedup_exact_map_rows"] = timed(
-                "dedup_exact", lambda: run_dedup(None)
+                "dedup_exact", lambda: run_dedup(None), n_runs=1
             )
         demb.unpersist()
         dnodes.unpersist()
@@ -267,6 +293,8 @@ def main() -> None:
         "graph_edges": edge_count,
         "checkpointing": bool(ckpt_dir),
         "jit_warmup": warmup,
+        "repeats": repeats,
+        "queries_min": timings_min,
         "shuffle_mb": shuffle_mb,
         **extras,
     }

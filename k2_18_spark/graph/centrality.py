@@ -262,10 +262,26 @@ def _superstep_centrality(
         )
 
 
+# populated by every _superstep_centrality_loop run: phase → (seconds,
+# rounds) — benchmarking introspection, not API
+LAST_SUPERSTEP_STATS: dict = {}
+
+
 def _superstep_centrality_loop(spark, edges, nodes, sample_k, max_rounds):
+    import time as _time
+
     from pyspark.storagelevel import StorageLevel
 
     from k2_18_spark.graph.adjacency import dense_vertex_ids
+
+    _t0 = _time.monotonic()
+    LAST_SUPERSTEP_STATS.clear()
+
+    def _mark(phase: str, rounds: int | None = None) -> None:
+        nonlocal _t0
+        now = _time.monotonic()
+        LAST_SUPERSTEP_STATS[phase] = (round(now - _t0, 1), rounds)
+        _t0 = now
 
     vmap = dense_vertex_ids(vertex_ids(edges, nodes))  # (id, ord) — id-sorted
     vmap = vmap.persist(StorageLevel.MEMORY_AND_DISK)
@@ -309,45 +325,66 @@ def _superstep_centrality_loop(spark, edges, nodes, sample_k, max_rounds):
         StorageLevel.MEMORY_AND_DISK
     )
     k = sources.count()
+    _mark("prep")
 
     # -- phase 1: multi-source SSSP ------------------------------------
-    dist = sources.select("s", F.col("s").alias("v"), F.lit(0.0).alias("d"))
-    dist = dist.localCheckpoint(eager=True)
+    # Frontier label-correcting with a COGROUPED merge: ``improved``
+    # comes out of its groupBy hash-partitioned on (s, v) and ``dist``
+    # is checkpointed with the same partitioning, so the full-outer
+    # merge joins partition-to-partition — no per-round re-aggregation
+    # of the whole |sources|·|V| state (the r03 shape union+min-agg'd
+    # it every round).
+    dist = (
+        sources.select("s", F.col("s").alias("v"), F.lit(0.0).alias("d"))
+        .repartition("s", "v")
+        .localCheckpoint(eager=True)
+    )
     frontier = dist
-    for _ in range(max_rounds):
+    ckpt = dist  # the checkpointed frame backing the current state
+    better = F.col("nd").isNotNull() & (
+        F.col("od").isNull() | (F.col("nd") < F.col("od"))
+    )
+    for _round in range(max_rounds):
         fr = frontier.select("s", F.col("v").alias("u"), "d")
         cand = (
             fr.join(e.hint("shuffle_hash"), "u")
             .select("s", "v", (F.col("d") + F.col("wt")).alias("nd"))
             .groupBy("s", "v")
-            .agg(F.min("nd").alias("d"))
+            .agg(F.min("nd").alias("nd"))
         )
         # hash joins only (AQE is off inside superstep_conf and an
         # unhinted join would SORT the |sources|·|V| dist state every
-        # round); merge via union + partial-agg min, not anti-join
-        improved = (
-            cand.hint("shuffle_hash")
-            .join(dist.select("s", "v", F.col("d").alias("od")), ["s", "v"], "left")
-            .filter(F.col("od").isNull() | (F.col("d") < F.col("od")))
-            .select("s", "v", "d")
+        # round); ONE materialization per round: the merged state
+        # carries a changed flag, so the next frontier and the new dist
+        # are both lazy reads of the same checkpoint
+        merged = (
+            dist.select("s", "v", F.col("d").alias("od"))
+            .join(cand.hint("shuffle_hash"), ["s", "v"], "full_outer")
+            .select(
+                "s",
+                "v",
+                F.when(better, F.col("nd")).otherwise(F.col("od")).alias("d"),
+                better.alias("chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        if improved.isEmpty():
+        dist = merged.select("s", "v", "d")
+        frontier = merged.filter("chg").select("s", "v", "d")
+        done = frontier.isEmpty()
+        ckpt.unpersist()
+        ckpt = merged
+        if done:
             break
-        old = dist
-        dist = (
-            dist.unionByName(improved)
-            .groupBy("s", "v")
-            .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=True)
-        )
-        old.unpersist()
-        frontier = improved
     else:
         raise RuntimeError(f"superstep SSSP did not settle in {max_rounds} rounds")
     dist = dist.persist(StorageLevel.MEMORY_AND_DISK)
+    _mark("sssp", _round + 1)
 
     # -- shortest-path DAG: u→w where d(u) + wt == d(w) ----------------
+    # Partitioned by the σ loop's join key (s, u) ONCE here: the σ
+    # settling joins the full DAG every round, and without the explicit
+    # repartition each round re-exchanged all |dag| rows (the build's
+    # natural output partitioning is (s, w)).
     dag = (
         dist.select("s", F.col("v").alias("u"), F.col("d").alias("du"))
         .join(e.hint("shuffle_hash"), "u")
@@ -360,55 +397,106 @@ def _superstep_centrality_loop(spark, edges, nodes, sample_k, max_rounds):
         )
         .filter(F.col("du") + F.col("wt") == F.col("dw"))
         .select("s", "u", "w")
+        .repartition("s", "u")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dag.count()
+    _mark("dag_build")
 
     # -- phase 2: σ by incremental indegree settling -------------------
+    # Cogrouped accumulator (r03 VERDICT task 4): each round aggregates
+    # ONLY the new contributions (from vertices settled last round) and
+    # folds them into the (s, w)-partitioned accumulator with a
+    # partition-aligned outer join — the r03 shape re-unioned and
+    # re-aggregated the ENTIRE accumulator every round. A vertex hits
+    # cnt == deg exactly once (each DAG predecessor settles once and
+    # contributes the round after), so ``ready`` needs no anti-join
+    # against settled state, and the full σ table is assembled ONCE
+    # after the loop instead of growing via per-round unions.
     indeg = dag.groupBy("s", "w").agg(F.count(F.lit(1)).alias("deg")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sigma = sources.select("s", F.col("s").alias("v"), F.lit(1.0).alias("sigma"))
-    sigma = sigma.localCheckpoint(eager=True)
-    new_settled = sigma
-    acc = None  # (s, w, sig, cnt) partial sums over settled preds
-    for _ in range(max_rounds):
-        contrib = (
+    sigma_seed = sources.select(
+        "s", F.col("s").alias("v"), F.lit(1.0).alias("sigma")
+    ).localCheckpoint(eager=True)
+    new_settled = sigma_seed
+    # acc: (s, w, sig, cnt, deg) — deg carried from first touch so
+    # ``ready`` is a lazy filter of the ONE per-round checkpoint
+    acc = None
+    settled_now = (F.col("ncnt").isNotNull()) & (
+        F.col("cnt") == F.col("deg")
+    )
+    for _round in range(max_rounds):
+        contrib_agg = (
             dag.join(
                 new_settled.select(
                     "s", F.col("v").alias("u"), "sigma"
                 ).hint("shuffle_hash"),
                 ["s", "u"],
             )
-            .select("s", "w", F.col("sigma").alias("sig"), F.lit(1).alias("cnt"))
+            .groupBy("s", "w")
+            .agg(
+                F.sum("sigma").alias("nsig"),
+                F.count(F.lit(1)).cast("int").alias("ncnt"),
+            )
+            .join(indeg.hint("shuffle_hash"), ["s", "w"])
         )
-        merged = contrib if acc is None else acc.unionByName(contrib)
-        acc_new = (
-            merged.groupBy("s", "w")
-            .agg(F.sum("sig").alias("sig"), F.sum("cnt").cast("int").alias("cnt"))
-            .localCheckpoint(eager=True)
-        )
-        if acc is not None:
+        if acc is None:
+            acc_new = (
+                contrib_agg.select(
+                    "s",
+                    "w",
+                    F.col("nsig").alias("sig"),
+                    F.col("ncnt").alias("cnt"),
+                    "deg",
+                    F.col("ncnt").alias("ncnt"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            acc_new = (
+                acc.select("s", "w", "sig", "cnt", "deg")
+                .join(
+                    contrib_agg.withColumnRenamed("deg", "ndeg").hint(
+                        "shuffle_hash"
+                    ),
+                    ["s", "w"],
+                    "full_outer",
+                )
+                .select(
+                    "s",
+                    "w",
+                    (
+                        F.coalesce("sig", F.lit(0.0)) + F.coalesce("nsig", F.lit(0.0))
+                    ).alias("sig"),
+                    (
+                        F.coalesce("cnt", F.lit(0)) + F.coalesce("ncnt", F.lit(0))
+                    ).cast("int").alias("cnt"),
+                    F.coalesce("deg", "ndeg").alias("deg"),
+                    "ncnt",
+                )
+                .localCheckpoint(eager=True)
+            )
             acc.unpersist()
         acc = acc_new
-        ready = (
-            acc.join(indeg, ["s", "w"])
-            .filter(F.col("cnt") == F.col("deg"))
-            .join(
-                sigma.select("s", F.col("v").alias("w")), ["s", "w"], "left_anti"
-            )
-            .select("s", F.col("w").alias("v"), F.col("sig").alias("sigma"))
-            .localCheckpoint(eager=True)
+        ready = acc.filter(settled_now).select(
+            "s", F.col("w").alias("v"), F.col("sig").alias("sigma")
         )
         if ready.isEmpty():
             break
-        old = sigma
-        sigma = sigma.unionByName(ready).localCheckpoint(eager=True)
-        old.unpersist()
         new_settled = ready
     else:
         raise RuntimeError(f"σ settling exceeded {max_rounds} rounds")
-    sigma = sigma.persist(StorageLevel.MEMORY_AND_DISK)
+    sigma = (
+        sigma_seed.unionByName(
+            acc.filter(F.col("cnt") == F.col("deg")).select(
+                "s", F.col("w").alias("v"), F.col("sig").alias("sigma")
+            )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        if acc is not None
+        else sigma_seed.persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _mark("sigma", _round + 1)
 
     # -- phase 3: δ on the reverse DAG ---------------------------------
     # ratio edges: u→w with σu/σw precomputed
@@ -426,6 +514,8 @@ def _superstep_centrality_loop(spark, edges, nodes, sample_k, max_rounds):
             ["s", "w"],
         )
         .select("s", "u", "w", (F.col("su") / F.col("sw")).alias("ratio"))
+        # (s, w) is the δ loop's per-round join key — pin it once
+        .repartition("s", "w")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     outdeg = dag_r.groupBy("s", "u").agg(
@@ -440,47 +530,81 @@ def _superstep_centrality_loop(spark, edges, nodes, sample_k, max_rounds):
         .select("s", "v", F.lit(0.0).alias("delta"))
         .localCheckpoint(eager=True)
     )
+    # same one-checkpoint-per-round cogrouped scheme as the σ phase
+    leaves = delta
     new_settled = delta
     acc2 = None
-    for _ in range(max_rounds):
-        contrib = (
+    for _round in range(max_rounds):
+        contrib_agg = (
             dag_r.join(
                 new_settled.select("s", F.col("v").alias("w"), "delta").hint(
                     "shuffle_hash"
                 ),
                 ["s", "w"],
             )
-            .select(
-                "s",
-                "u",
-                (F.col("ratio") * (F.lit(1.0) + F.col("delta"))).alias("dd"),
-                F.lit(1).alias("cnt"),
+            .groupBy("s", "u")
+            .agg(
+                F.sum(F.col("ratio") * (F.lit(1.0) + F.col("delta"))).alias("ndd"),
+                F.count(F.lit(1)).cast("int").alias("ncnt"),
             )
+            .join(outdeg.hint("shuffle_hash"), ["s", "u"])
         )
-        merged = contrib if acc2 is None else acc2.unionByName(contrib)
-        acc2_new = (
-            merged.groupBy("s", "u")
-            .agg(F.sum("dd").alias("dd"), F.sum("cnt").cast("int").alias("cnt"))
-            .localCheckpoint(eager=True)
-        )
-        if acc2 is not None:
+        if acc2 is None:
+            acc2_new = (
+                contrib_agg.select(
+                    "s",
+                    "u",
+                    F.col("ndd").alias("dd"),
+                    F.col("ncnt").alias("cnt"),
+                    "deg",
+                    F.col("ncnt").alias("ncnt"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            acc2_new = (
+                acc2.select("s", "u", "dd", "cnt", "deg")
+                .join(
+                    contrib_agg.withColumnRenamed("deg", "ndeg").hint(
+                        "shuffle_hash"
+                    ),
+                    ["s", "u"],
+                    "full_outer",
+                )
+                .select(
+                    "s",
+                    "u",
+                    (
+                        F.coalesce("dd", F.lit(0.0)) + F.coalesce("ndd", F.lit(0.0))
+                    ).alias("dd"),
+                    (
+                        F.coalesce("cnt", F.lit(0)) + F.coalesce("ncnt", F.lit(0))
+                    ).cast("int").alias("cnt"),
+                    F.coalesce("deg", "ndeg").alias("deg"),
+                    "ncnt",
+                )
+                .localCheckpoint(eager=True)
+            )
             acc2.unpersist()
         acc2 = acc2_new
-        ready = (
-            acc2.join(outdeg, ["s", "u"])
-            .filter(F.col("cnt") == F.col("deg"))
-            .join(delta.select("s", F.col("v").alias("u")), ["s", "u"], "left_anti")
-            .select("s", F.col("u").alias("v"), F.col("dd").alias("delta"))
-            .localCheckpoint(eager=True)
+        ready = acc2.filter(settled_now).select(
+            "s", F.col("u").alias("v"), F.col("dd").alias("delta")
         )
         if ready.isEmpty():
             break
-        old = delta
-        delta = delta.unionByName(ready).localCheckpoint(eager=True)
-        old.unpersist()
         new_settled = ready
     else:
         raise RuntimeError(f"δ settling exceeded {max_rounds} rounds")
+    delta = (
+        leaves.unionByName(
+            acc2.filter(F.col("cnt") == F.col("deg")).select(
+                "s", F.col("u").alias("v"), F.col("dd").alias("delta")
+            )
+        )
+        if acc2 is not None
+        else leaves
+    )
+    _mark("delta", _round + 1)
 
     # -- assemble ------------------------------------------------------
     # betweenness: Σ_s δ_s(v) for v ≠ s, nx directed normalization

@@ -38,11 +38,17 @@ def singleton_clusters(node_metrics: DataFrame) -> DataFrame:
     )
 
 
-def iqr_outliers(df: DataFrame, col: str, factor: float = 1.5) -> DataFrame:
-    """A6: IQR outlier rows (viz/anomaly_detector.py:463-530)."""
+def iqr_outliers(
+    df: DataFrame, col: str, factor: float = 1.5, accuracy: int = 10_000
+) -> DataFrame:
+    """A6: IQR outlier rows (viz/anomaly_detector.py:463-530).
+
+    ``accuracy``: percentile_approx rank-error bound is n/accuracy —
+    raise above n for exact quantiles (≡ DuckDB quantile_disc; the
+    oracle relies on this)."""
     q = df.agg(
-        F.percentile_approx(col, 0.25).alias("q1"),
-        F.percentile_approx(col, 0.75).alias("q3"),
+        F.percentile_approx(col, 0.25, accuracy).alias("q1"),
+        F.percentile_approx(col, 0.75, accuracy).alias("q3"),
     ).collect()[0]
     iqr = q["q3"] - q["q1"]
     lo, hi = q["q1"] - factor * iqr, q["q3"] + factor * iqr

@@ -11,13 +11,17 @@ stdlib (no PIL/ffmpeg in this container):
 - image pixels: REAL full PNG decode (zlib inflate + the five
   scanline filters) for 8-bit L/RGB/RGBA non-interlaced images,
   powering ``image_features`` (per-channel stats + 64-bit aHash);
-- audio metadata: REAL WAV decode via the stdlib ``wave`` module.
+- audio metadata: REAL WAV decode via the stdlib ``wave`` module;
+- video metadata: REAL container parsing — MP4/ISO-BMFF box walk
+  (ftyp brand, mvhd timescale/duration, trak count) and Matroska/WebM
+  EBML probe (DocType, TimestampScale, Duration, TrackEntry count).
 
 Unknown formats keep the previous contract: raise ``CodecUnavailable``
 (strict) or produce a deterministic fake (test mode) behind the same
 interface — swapping in a full codec suite touches only the
-``_decode_*`` functions. Video frame extraction remains stubbed
-(no container parser in the sandbox).
+``_decode_*`` functions. Video frame PIXEL extraction remains a
+deterministic hash stub (no ffmpeg in the sandbox); frame timing uses
+the real container duration when it parses.
 
 Design notes for 100 TB:
 - media bytes never pass through a shuffle: all extractors are
@@ -209,6 +213,211 @@ def _decode_audio(raw: bytes, fake: bool):
     return 16000, 16000 + h % 160000
 
 
+# -- video containers: MP4 box walk + Matroska EBML probe ---------------------
+
+VIDEO_META = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_sha256", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("container", T.StringType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("timescale", T.LongType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+    ]
+)
+
+
+def _mp4_meta(raw: bytes):
+    """ISO BMFF (public ISO/IEC 14496-12 layout) top-level box walk:
+    ``[size u32][type 4cc][payload]`` (size 1 → 64-bit largesize,
+    size 0 → to end). ftyp → major brand; moov/mvhd → (timescale,
+    duration); moov/trak count. → (brand, duration_s, timescale,
+    n_tracks)."""
+    brand = None
+    timescale = None
+    duration = None
+    n_tracks = 0
+
+    def walk(start: int, end: int) -> None:
+        nonlocal brand, timescale, duration, n_tracks
+        i = start
+        while i + 8 <= end:
+            size = struct.unpack(">I", raw[i:i + 4])[0]
+            btype = raw[i + 4:i + 8]
+            hdr = 8
+            if size == 1:
+                if i + 16 > end:
+                    raise ValueError("truncated largesize box")
+                size = struct.unpack(">Q", raw[i + 8:i + 16])[0]
+                hdr = 16
+            elif size == 0:
+                size = end - i
+            if size < hdr or i + size > end:
+                raise ValueError("bad box size")
+            if btype == b"ftyp":
+                brand = raw[i + hdr:i + hdr + 4].decode("ascii", "replace")
+            elif btype == b"moov":
+                walk(i + hdr, i + size)
+            elif btype == b"mvhd":
+                ver = raw[i + hdr]
+                base = i + hdr + 4  # skip version+flags
+                if ver == 1:  # 64-bit creation/modification times
+                    timescale = struct.unpack(">I", raw[base + 16:base + 20])[0]
+                    duration = struct.unpack(">Q", raw[base + 20:base + 28])[0]
+                else:
+                    timescale = struct.unpack(">I", raw[base + 8:base + 12])[0]
+                    duration = struct.unpack(">I", raw[base + 12:base + 16])[0]
+            elif btype == b"trak":
+                n_tracks += 1
+            i += size
+
+    walk(0, len(raw))
+    if not timescale or duration is None:
+        raise ValueError("no mvhd box")
+    return brand, duration / timescale, timescale, n_tracks
+
+
+def _ebml_vint(raw: bytes, i: int, mask_marker: bool):
+    """Read one EBML variable-length integer at ``i`` →
+    (value | None, next_index). IDs keep the length-marker bit
+    (``mask_marker=False``); sizes strip it, and the all-ones pattern
+    means 'unknown size' → value None."""
+    if i >= len(raw):
+        raise ValueError("EBML EOF")
+    b0 = raw[i]
+    for ln in range(1, 9):
+        if b0 & (0x80 >> (ln - 1)):
+            if i + ln > len(raw):
+                raise ValueError("EBML EOF")
+            if not mask_marker:  # element ID: at most 4 bytes, keep marker
+                if ln > 4:
+                    raise ValueError("bad EBML id")
+                return int.from_bytes(raw[i:i + ln], "big"), i + ln
+            val = b0 & (0xFF >> ln)
+            for k in range(1, ln):
+                val = (val << 8) | raw[i + k]
+            if val == (1 << (7 * ln)) - 1:
+                return None, i + ln  # unknown size
+            return val, i + ln
+    raise ValueError("bad EBML vint")
+
+
+_EBML_MASTERS = {
+    0x1A45DFA3,  # EBML header
+    0x18538067,  # Segment
+    0x1549A966,  # Info
+    0x1654AE6B,  # Tracks
+}
+
+
+def _mkv_meta(raw: bytes):
+    """Matroska/WebM EBML probe (public Matroska spec element ids):
+    DocType (0x4282), Info/TimestampScale (0x2AD7B1, ns per tick,
+    default 1e6), Info/Duration (0x4489, float ticks), Tracks/
+    TrackEntry (0xAE) count. → (doctype, duration_s | None,
+    timescale_ns, n_tracks)."""
+    if not raw.startswith(b"\x1a\x45\xdf\xa3"):
+        raise ValueError("not EBML")
+    doctype = None
+    tscale = 1_000_000
+    dur_ticks = None
+    n_tracks = 0
+
+    def scan(i: int, end: int) -> None:
+        nonlocal doctype, tscale, dur_ticks, n_tracks
+        while i < end:
+            eid, j = _ebml_vint(raw, i, mask_marker=False)
+            size, k = _ebml_vint(raw, j, mask_marker=True)
+            pend = end if size is None else min(k + size, end)
+            if eid == 0x4282:
+                doctype = raw[k:pend].decode("ascii", "replace").rstrip("\x00")
+            elif eid == 0x2AD7B1:
+                tscale = int.from_bytes(raw[k:pend], "big")
+            elif eid == 0x4489:
+                b = raw[k:pend]
+                dur_ticks = struct.unpack(
+                    ">f" if len(b) == 4 else ">d", b
+                )[0]
+            elif eid == 0xAE:
+                n_tracks += 1
+            if eid in _EBML_MASTERS:
+                scan(k, pend)
+            if size is None:  # unknown-size master consumed the rest
+                return
+            i = pend
+
+    scan(0, len(raw))
+    if doctype is None:
+        raise ValueError("no DocType")
+    dur_s = None if dur_ticks is None else dur_ticks * tscale / 1e9
+    return doctype, dur_s, tscale, n_tracks
+
+
+def _decode_video(raw: bytes, fake: bool):
+    """→ (container, duration_s, timescale, n_tracks). REAL stdlib
+    parsing for MP4 (box walk) and Matroska/WebM (EBML probe); other
+    containers fall back to the fake/strict contract."""
+    try:
+        if len(raw) >= 12 and raw[4:8] == b"ftyp":
+            brand, dur, ts, nt = _mp4_meta(raw)
+            return f"mp4/{brand}", dur, ts, nt
+        if raw.startswith(b"\x1a\x45\xdf\xa3"):
+            doctype, dur, ts, nt = _mkv_meta(raw)
+            return doctype, dur, ts, nt
+    except Exception:
+        pass  # malformed container → same unknown-format contract
+    if not fake:
+        raise CodecUnavailable("unsupported video container")
+    h = int.from_bytes(hashlib.sha256(raw).digest()[8:12], "big")
+    return "fake", 1.0 + h % 30, None, None
+
+
+def video_metadata(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    bytes_col: str = "media",
+    fake_decode: bool = True,
+) -> DataFrame:
+    """binary video column → typed container metadata (duration,
+    timescale, track count) via Arrow-batched mapInPandas."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf[id_col], pdf[bytes_col]):
+                if raw is None:
+                    rows.append((doc_id, None, None, None, None, None, None))
+                    continue
+                raw = bytes(raw)
+                container, dur, ts, nt = _decode_video(raw, fake_decode)
+                rows.append(
+                    (
+                        doc_id,
+                        hashlib.sha256(raw).hexdigest(),
+                        len(raw),
+                        container,
+                        dur,
+                        ts,
+                        nt,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "media_sha256",
+                    "n_bytes",
+                    "container",
+                    "duration_s",
+                    "timescale",
+                    "n_tracks",
+                ],
+            )
+
+    return media.select(id_col, bytes_col).mapInPandas(extract, VIDEO_META)
+
+
 def image_metadata(
     media: DataFrame,
     id_col: str = "doc_id",
@@ -378,8 +587,11 @@ def frame_sample(
     fake_decode: bool = True,
 ) -> DataFrame:
     """Video → sampled frame rows (UDTF shape: one media row → many
-    frame rows). Frame extraction is stubbed with deterministic hashes;
-    a real implementation feeds ffmpeg per Arrow batch."""
+    frame rows). Frame TIMING comes from the REAL container metadata
+    (MP4 box walk / Matroska EBML probe) when the container parses;
+    frame PIXEL extraction is a deterministic hash stub (no ffmpeg in
+    this sandbox — a real implementation feeds ffmpeg per Arrow
+    batch). Unknown containers follow the fake/strict contract."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -388,11 +600,14 @@ def frame_sample(
                 if raw is None:
                     continue
                 raw = bytes(raw)
-                if not fake_decode:
-                    raise CodecUnavailable("video codec not available")
-                # deterministic fake duration → frame count
-                h = int.from_bytes(hashlib.sha256(raw).digest()[8:12], "big")
-                duration = 1.0 + h % 30
+                _, duration, _, _ = _decode_video(raw, fake_decode)
+                if duration is None:  # parsed container, no duration tag
+                    if not fake_decode:
+                        raise CodecUnavailable("container carries no duration")
+                    h = int.from_bytes(
+                        hashlib.sha256(raw).digest()[8:12], "big"
+                    )
+                    duration = 1.0 + h % 30
                 n = min(max_frames, int(duration / every_s))
                 for i in range(n):
                     ts = i * every_s

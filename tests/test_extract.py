@@ -214,6 +214,57 @@ def test_preprocess_adversarial(name, html, expected, bs4_note):
     # bounded divergences vs the bs4-backed reference extractor
 
 
+def test_extractor_parity_fixture_in_sync():
+    """fixtures/extractor_parity.jsonl is the standalone replay corpus
+    for a bs4-equipped environment (VERDICT r03 task 8) — keep it in
+    lockstep with ADVERSARIAL_CASES."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "fixtures", "extractor_parity.jsonl"
+    )
+    with open(path) as fh:
+        rows = [json.loads(line) for line in fh]
+    assert [
+        (r["name"], r["html"], r["expected_span_cut"], r["bs4_divergence"])
+        for r in rows
+    ] == ADVERSARIAL_CASES
+
+
+def _bs4_reference_extract(html: str) -> str:
+    """The reference extractor verbatim-in-semantics
+    (src/slicer.py:163-203): NFC normalize; when a script/style marker
+    is present, parse with BeautifulSoup(html.parser), decompose those
+    elements, re-serialize."""
+    import unicodedata
+
+    from bs4 import BeautifulSoup  # noqa: F401
+
+    text = unicodedata.normalize("NFC", html)
+    low = text.lower()
+    if "<script" not in low and "<style" not in low:
+        return text
+    soup = BeautifulSoup(text, "html.parser")
+    for tag in soup(["script", "style"]):
+        tag.decompose()
+    return str(soup)
+
+
+def test_bs4_reference_replay():
+    """Skipped-by-default in this sandbox (bs4 absent): replays the
+    parity corpus against the REAL bs4-backed reference extractor.
+    Cases with bs4_divergence=None must be byte-identical; non-None
+    cases document the expected difference and must differ."""
+    pytest.importorskip("bs4")
+    for name, html, expected, note in ADVERSARIAL_CASES:
+        ref = _bs4_reference_extract(html)
+        if note is None:
+            assert ref == expected, (name, ref)
+        else:
+            assert ref != expected, (name, "documented divergence vanished")
+
+
 def test_preprocess_adversarial_batch_udf(spark):
     """The same corpus through the vectorized UDF path (extract_udf):
     batch results byte-equal the scalar function."""

@@ -46,6 +46,81 @@ def test_audio_and_frames(media):
         assert len(doc_rows) <= 4
 
 
+def _box(t: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + t + payload
+
+
+def _ebml(eid: bytes, payload: bytes) -> bytes:
+    assert len(payload) < 127
+    return eid + bytes([0x80 | len(payload)]) + payload
+
+
+def _mp4_fixture() -> bytes:
+    import struct
+
+    mvhd = _box(
+        b"mvhd",
+        bytes(4)  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification
+        + struct.pack(">I", 1000)  # timescale
+        + struct.pack(">I", 12500)  # duration → 12.5 s
+        + bytes(80),
+    )
+    moov = _box(b"moov", mvhd + _box(b"trak", b"") + _box(b"trak", b""))
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    return ftyp + moov + _box(b"mdat", bytes(32))
+
+
+def _mkv_fixture() -> bytes:
+    import struct
+
+    header = _ebml(b"\x1a\x45\xdf\xa3", _ebml(b"\x42\x82", b"matroska"))
+    info = _ebml(
+        b"\x15\x49\xa9\x66",
+        _ebml(b"\x2a\xd7\xb1", struct.pack(">I", 1_000_000))
+        + _ebml(b"\x44\x89", struct.pack(">d", 20000.0)),  # 20 s
+    )
+    tracks = _ebml(
+        b"\x16\x54\xae\x6b", _ebml(b"\xae", b"") + _ebml(b"\xae", b"")
+    )
+    return header + _ebml(b"\x18\x53\x80\x67", info + tracks)
+
+
+def test_video_container_metadata(spark):
+    from k2_18_spark.operators.multimodal import video_metadata
+
+    media = spark.createDataFrame(
+        [(1, _mp4_fixture()), (2, _mkv_fixture())], "doc_id long, media binary"
+    )
+    m = {
+        r["doc_id"]: r.asDict()
+        for r in video_metadata(media, fake_decode=False).collect()
+    }
+    assert m[1]["container"] == "mp4/isom"
+    assert abs(m[1]["duration_s"] - 12.5) < 1e-9
+    assert m[1]["timescale"] == 1000 and m[1]["n_tracks"] == 2
+    assert m[2]["container"] == "matroska"
+    assert abs(m[2]["duration_s"] - 20.0) < 1e-9
+    assert m[2]["timescale"] == 1_000_000 and m[2]["n_tracks"] == 2
+    # frame timing follows the REAL container duration in strict mode
+    fr = frame_sample(
+        spark.createDataFrame([(1, _mp4_fixture())], "doc_id long, media binary"),
+        every_s=1.0,
+        max_frames=100,
+        fake_decode=False,
+    ).collect()
+    assert len(fr) == 12  # int(12.5 / 1.0)
+    # junk bytes keep the strict contract
+    junk = spark.createDataFrame(
+        [(3, b"notavideo" * 10)], "doc_id long, media binary"
+    )
+    with pytest.raises(Exception) as exc:
+        video_metadata(junk, fake_decode=False).collect()
+    assert "CodecUnavailable" in str(exc.value) or "container" in str(exc.value)
+
+
 def test_strict_mode_raises(media):
     with pytest.raises(Exception) as exc:
         image_metadata(media, fake_decode=False).collect()
