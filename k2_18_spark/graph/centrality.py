@@ -266,6 +266,12 @@ def _superstep_centrality(
 # rounds) — benchmarking introspection, not API
 LAST_SUPERSTEP_STATS: dict = {}
 
+# sampled-source counts up to this use the columnar superstep state
+# (per-source COLUMNS keyed by vertex); larger k falls back to the
+# row-per-(source,vertex) loop. 64 sources × 3 state columns ≈ 200
+# columns — comfortably inside whole-stage codegen limits.
+SUPERSTEP_COLUMNAR_MAX_K = 64
+
 
 def _superstep_centrality_loop(spark, edges, nodes, sample_k, max_rounds):
     import time as _time
@@ -326,6 +332,17 @@ def _superstep_centrality_loop(spark, edges, nodes, sample_k, max_rounds):
     )
     k = sources.count()
     _mark("prep")
+
+    if k <= SUPERSTEP_COLUMNAR_MAX_K:
+        # k-wide columnar state: one row per VERTEX with per-source
+        # columns instead of one row per (source, vertex) — k× fewer
+        # state rows, the DAG holds one row per edge with a k-bit mask
+        # instead of per-source copies, and every aggregate is a
+        # codegen'd per-column min/sum. Semantically identical to the
+        # row path below (parity-tested).
+        return _superstep_columnar(
+            spark, e, vmap, sources, n, k, max_rounds, _mark
+        )
 
     # -- phase 1: multi-source SSSP ------------------------------------
     # Frontier label-correcting with a COGROUPED merge: ``improved``
@@ -636,6 +653,440 @@ def _superstep_centrality_loop(spark, edges, nodes, sample_k, max_rounds):
         vmap.select(F.col("ord").alias("v"), "id")
         .join(bc, "v", "left")
         .join(clo, "v", "left")
+        .select(
+            "id",
+            F.coalesce("betweenness_centrality", F.lit(0.0)).alias(
+                "betweenness_centrality"
+            ),
+            F.coalesce("out_closeness", F.lit(0.0)).alias("out_closeness"),
+        )
+    )
+    return out
+
+
+def _superstep_columnar(spark, e, vmap, sources, n, k, max_rounds, _mark):
+    """Columnar multi-source Brandes (k ≤ SUPERSTEP_COLUMNAR_MAX_K).
+
+    Same three phases and settling semantics as the row loop, but the
+    state is keyed by VERTEX with k per-source columns:
+
+    - dist:  (v, d0..d{k-1})                      ≤ |V| rows
+    - dag:   (u, w, m0..m{k-1} boolean mask)      ≤ |E| rows
+    - σ acc: (w, sig_i, cnt_i, deg_i, new_i)      ≤ |V| rows
+    - δ acc: (u, dd_i, cnt_i, deg_i, new_i)       ≤ |V| rows
+
+    The only driver-side materialization is the k sampled source ids
+    (scalars, k ≤ 64) — needed to build the per-source column
+    expressions; bulk data never leaves the executors.
+    """
+    from functools import reduce
+    from operator import or_
+
+    from pyspark.sql import types as T
+    from pyspark.storagelevel import StorageLevel
+
+    s_list = [r["s"] for r in sources.orderBy("s").collect()]
+    R = range(k)
+
+    def cols(prefix):
+        return [f"{prefix}{i}" for i in R]
+
+    def ckpt_swap(old, new):
+        if old is not None:
+            old.unpersist()
+        return new
+
+    # -- phase 1: SSSP --------------------------------------------------
+    seed_rows = [
+        tuple([sv] + [0.0 if i == j else None for i in R])
+        for j, sv in enumerate(s_list)
+    ]
+    d_schema = T.StructType(
+        [T.StructField("v", T.LongType())]
+        + [T.StructField(f"d{i}", T.DoubleType()) for i in R]
+    )
+    dist = (
+        spark.createDataFrame(seed_rows, d_schema)
+        .repartition("v")
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    ckpt = dist
+    for _round in range(max_rounds):
+        fr = frontier.select(
+            F.col("v").alias("u"),
+            *[F.col(f"d{i}").alias(f"fd{i}") for i in R],
+        )
+        cand = (
+            fr.join(e.hint("shuffle_hash"), "u")
+            .groupBy("v")
+            .agg(
+                *[
+                    F.min(F.col(f"fd{i}") + F.col("wt")).alias(f"nd{i}")
+                    for i in R
+                ]
+            )
+        )
+        better = [
+            F.col(f"nd{i}").isNotNull()
+            & (F.col(f"od{i}").isNull() | (F.col(f"nd{i}") < F.col(f"od{i}")))
+            for i in R
+        ]
+        merged = (
+            dist.select("v", *[F.col(f"d{i}").alias(f"od{i}") for i in R])
+            .join(cand.hint("shuffle_hash"), ["v"], "full_outer")
+            .select(
+                "v",
+                *[
+                    F.when(better[i], F.col(f"nd{i}"))
+                    .otherwise(F.col(f"od{i}"))
+                    .alias(f"d{i}")
+                    for i in R
+                ],
+                *[better[i].alias(f"chg{i}") for i in R],
+            )
+            .localCheckpoint(eager=True)
+        )
+        dist = merged.select("v", *cols("d"))
+        # propagate ONLY the components that improved (others null)
+        frontier = merged.filter(
+            reduce(or_, [F.col(f"chg{i}") for i in R])
+        ).select(
+            "v",
+            *[
+                F.when(F.col(f"chg{i}"), F.col(f"d{i}")).alias(f"d{i}")
+                for i in R
+            ],
+        )
+        done = frontier.isEmpty()
+        ckpt = ckpt_swap(ckpt, merged)
+        if done:
+            break
+    else:
+        raise RuntimeError(f"superstep SSSP did not settle in {max_rounds} rounds")
+    dist = dist.persist(StorageLevel.MEMORY_AND_DISK)
+    dist.count()
+    _mark("sssp", _round + 1)
+
+    # -- shortest-path DAG mask ----------------------------------------
+    du = dist.select(
+        F.col("v").alias("u"), *[F.col(f"d{i}").alias(f"du{i}") for i in R]
+    )
+    dw = dist.select(
+        F.col("v").alias("w"), *[F.col(f"d{i}").alias(f"dw{i}") for i in R]
+    )
+    masks = [
+        F.coalesce(
+            F.col(f"du{i}") + F.col("wt") == F.col(f"dw{i}"), F.lit(False)
+        )
+        for i in R
+    ]
+    dag = (
+        e.select("u", F.col("v").alias("w"), "wt")
+        .join(du.hint("shuffle_hash"), "u")
+        .join(dw.hint("shuffle_hash"), "w")
+        .select("u", "w", *[masks[i].alias(f"m{i}") for i in R])
+        .filter(reduce(or_, [F.col(f"m{i}") for i in R]))
+        .repartition("u")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dag.count()
+    _mark("dag_build")
+
+    # -- phase 2: σ settling -------------------------------------------
+    # acc seeded from the per-source indegrees; contributions LEFT-join
+    # into it (every contribution target has a DAG in-edge, so the key
+    # set never grows)
+    acc = (
+        dag.groupBy("w")
+        .agg(
+            *[
+                F.sum(F.col(f"m{i}").cast("int")).cast("int").alias(f"deg{i}")
+                for i in R
+            ]
+        )
+        .select(
+            "w",
+            *[F.lit(0.0).alias(f"sig{i}") for i in R],
+            *[F.lit(0).alias(f"cnt{i}") for i in R],
+            *cols("deg"),
+        )
+        .repartition("w")
+        .localCheckpoint(eager=True)
+    )
+    # newly-settled frame: (u, ns_i = σ_i if source i newly settled at u)
+    ns_schema = T.StructType(
+        [T.StructField("u", T.LongType())]
+        + [T.StructField(f"ns{i}", T.DoubleType()) for i in R]
+    )
+    new_settled = spark.createDataFrame(
+        [
+            tuple([sv] + [1.0 if i == j else None for i in R])
+            for j, sv in enumerate(s_list)
+        ],
+        ns_schema,
+    )
+    for _round in range(max_rounds):
+        contrib = (
+            dag.join(new_settled.hint("shuffle_hash"), "u")
+            .groupBy("w")
+            .agg(
+                *[
+                    F.sum(F.when(F.col(f"m{i}"), F.col(f"ns{i}"))).alias(
+                        f"nsig{i}"
+                    )
+                    for i in R
+                ],
+                *[
+                    F.count(
+                        F.when(
+                            F.col(f"m{i}") & F.col(f"ns{i}").isNotNull(),
+                            F.lit(1),
+                        )
+                    )
+                    .cast("int")
+                    .alias(f"ncnt{i}")
+                    for i in R
+                ],
+            )
+        )
+        acc_new = (
+            acc.join(contrib.hint("shuffle_hash"), "w", "left")
+            .select(
+                "w",
+                *[
+                    (
+                        F.col(f"sig{i}")
+                        + F.coalesce(F.col(f"nsig{i}"), F.lit(0.0))
+                    ).alias(f"sig{i}")
+                    for i in R
+                ],
+                *[
+                    (
+                        F.col(f"cnt{i}")
+                        + F.coalesce(F.col(f"ncnt{i}"), F.lit(0))
+                    ).alias(f"cnt{i}")
+                    for i in R
+                ],
+                *cols("deg"),
+                *[
+                    (
+                        (F.coalesce(F.col(f"ncnt{i}"), F.lit(0)) > 0)
+                        & (
+                            F.col(f"cnt{i}")
+                            + F.coalesce(F.col(f"ncnt{i}"), F.lit(0))
+                            == F.col(f"deg{i}")
+                        )
+                    ).alias(f"new{i}")
+                    for i in R
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+        acc = ckpt_swap(acc, acc_new)
+        new_settled = acc.filter(
+            reduce(or_, [F.col(f"new{i}") for i in R])
+        ).select(
+            F.col("w").alias("u"),
+            *[
+                F.when(F.col(f"new{i}"), F.col(f"sig{i}")).alias(f"ns{i}")
+                for i in R
+            ],
+        )
+        if new_settled.isEmpty():
+            break
+    else:
+        raise RuntimeError(f"σ settling exceeded {max_rounds} rounds")
+    _mark("sigma", _round + 1)
+
+    # final σ per vertex: sources pin σ=1 for their own component (they
+    # have no DAG in-edges for it, so acc never accumulates them)
+    seed_v = spark.createDataFrame(
+        [(sv,) for sv in s_list], "v long"
+    )
+    sig_v = (
+        acc.select(F.col("w").alias("v"), *cols("sig"))
+        .join(seed_v, "v", "full_outer")
+        .select(
+            "v",
+            *[
+                F.when(F.col("v") == F.lit(s_list[i]), F.lit(1.0))
+                .otherwise(F.col(f"sig{i}"))
+                .alias(f"sig{i}")
+                for i in R
+            ],
+        )
+    )
+
+    # -- phase 3: δ settling on the reverse DAG ------------------------
+    sig_u = sig_v.select(
+        F.col("v").alias("u"), *[F.col(f"sig{i}").alias(f"su{i}") for i in R]
+    )
+    sig_w = sig_v.select(
+        F.col("v").alias("w"), *[F.col(f"sig{i}").alias(f"sw{i}") for i in R]
+    )
+    dag_r = (
+        dag.join(sig_u.hint("shuffle_hash"), "u")
+        .join(sig_w.hint("shuffle_hash"), "w")
+        .select(
+            "u",
+            "w",
+            *[
+                F.when(
+                    F.col(f"m{i}"), F.col(f"su{i}") / F.col(f"sw{i}")
+                ).alias(f"r{i}")
+                for i in R
+            ],
+        )
+        .repartition("w")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    acc2 = (
+        dag.groupBy("u")
+        .agg(
+            *[
+                F.sum(F.col(f"m{i}").cast("int")).cast("int").alias(f"deg{i}")
+                for i in R
+            ]
+        )
+        .select(
+            "u",
+            *[F.lit(0.0).alias(f"dd{i}") for i in R],
+            *[F.lit(0).alias(f"cnt{i}") for i in R],
+            *cols("deg"),
+        )
+        .repartition("u")
+        .localCheckpoint(eager=True)
+    )
+    # leaves per component: reached with no outgoing DAG edge for it
+    outdeg_v = acc2.select(
+        F.col("u").alias("v"), *[F.col(f"deg{i}").alias(f"odg{i}") for i in R]
+    )
+    leaf_flags = [
+        F.col(f"d{i}").isNotNull()
+        & (F.coalesce(F.col(f"odg{i}"), F.lit(0)) == 0)
+        for i in R
+    ]
+    new_settled = (
+        dist.join(outdeg_v, "v", "left")
+        .select(
+            F.col("v").alias("w"),
+            *[
+                F.when(leaf_flags[i], F.lit(0.0)).alias(f"nd{i}")
+                for i in R
+            ],
+        )
+        .filter(
+            reduce(or_, [F.col(f"nd{i}").isNotNull() for i in R])
+        )
+    )
+    for _round in range(max_rounds):
+        contrib = (
+            dag_r.join(new_settled.hint("shuffle_hash"), "w")
+            .groupBy("u")
+            .agg(
+                *[
+                    F.sum(
+                        F.col(f"r{i}") * (F.lit(1.0) + F.col(f"nd{i}"))
+                    ).alias(f"ndd{i}")
+                    for i in R
+                ],
+                *[
+                    F.count(
+                        F.when(
+                            F.col(f"r{i}").isNotNull()
+                            & F.col(f"nd{i}").isNotNull(),
+                            F.lit(1),
+                        )
+                    )
+                    .cast("int")
+                    .alias(f"ncnt{i}")
+                    for i in R
+                ],
+            )
+        )
+        acc2_new = (
+            acc2.join(contrib.hint("shuffle_hash"), "u", "left")
+            .select(
+                "u",
+                *[
+                    (
+                        F.col(f"dd{i}")
+                        + F.coalesce(F.col(f"ndd{i}"), F.lit(0.0))
+                    ).alias(f"dd{i}")
+                    for i in R
+                ],
+                *[
+                    (
+                        F.col(f"cnt{i}")
+                        + F.coalesce(F.col(f"ncnt{i}"), F.lit(0))
+                    ).alias(f"cnt{i}")
+                    for i in R
+                ],
+                *cols("deg"),
+                *[
+                    (
+                        (F.coalesce(F.col(f"ncnt{i}"), F.lit(0)) > 0)
+                        & (
+                            F.col(f"cnt{i}")
+                            + F.coalesce(F.col(f"ncnt{i}"), F.lit(0))
+                            == F.col(f"deg{i}")
+                        )
+                    ).alias(f"new{i}")
+                    for i in R
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+        acc2 = ckpt_swap(acc2, acc2_new)
+        new_settled = acc2.filter(
+            reduce(or_, [F.col(f"new{i}") for i in R])
+        ).select(
+            F.col("u").alias("w"),
+            *[
+                F.when(F.col(f"new{i}"), F.col(f"dd{i}")).alias(f"nd{i}")
+                for i in R
+            ],
+        )
+        if new_settled.isEmpty():
+            break
+    else:
+        raise RuntimeError(f"δ settling exceeded {max_rounds} rounds")
+    _mark("delta", _round + 1)
+
+    # -- assemble ------------------------------------------------------
+    scale = (1.0 / ((n - 1.0) * (n - 2.0)) * (float(n) / k)) if n > 2 else 0.0
+    bc_terms = [
+        F.when(F.col("u") == F.lit(s_list[i]), F.lit(0.0)).otherwise(
+            F.col(f"dd{i}")
+        )
+        for i in R
+    ]
+    bc = acc2.select(
+        F.col("u").alias("v"),
+        (sum(bc_terms[1:], bc_terms[0]) * F.lit(scale)).alias(
+            "betweenness_centrality"
+        ),
+    )
+    # out-closeness per source: reach/Σd from the dist columns (k
+    # scalar pairs — same driver-side formula as the row path)
+    reach_row = dist.agg(
+        *[F.count(F.col(f"d{i}")).alias(f"c{i}") for i in R],
+        *[F.sum(F.col(f"d{i}")).alias(f"t{i}") for i in R],
+    ).collect()[0]
+    clo_rows = []
+    for i in R:
+        reach, totsp = reach_row[f"c{i}"], reach_row[f"t{i}"] or 0.0
+        if totsp > 0.0 and n > 1 and reach > 1:
+            clo = (reach - 1.0) / totsp * ((reach - 1.0) / (n - 1.0))
+        else:
+            clo = 0.0
+        clo_rows.append((s_list[i], clo))
+    clo = spark.createDataFrame(clo_rows, "v long, out_closeness double")
+    out = (
+        vmap.select(F.col("ord").alias("v"), "id")
+        .join(bc, "v", "left")
+        .join(F.broadcast(clo), "v", "left")
         .select(
             "id",
             F.coalesce("betweenness_centrality", F.lit(0.0)).alias(

@@ -14,10 +14,16 @@ the seeded synthetic power-law graph (no external data):
                  (exact partition + renumbering equality — DuckDB's
                  transitive-closure oracle would explode at this size)
 - triangles      vs DuckDB's oriented two-hop join (global count)
-- lpa@3          vs a numpy/pandas replica of the documented
+- lpa@10         vs a numpy/pandas replica of the documented
                  semi-synchronous trajectory (vote_round=9 on both
                  sides bridges float summation order)
+- minhash_lsh    vs the same DuckDB md5-60 banded-LSH replica the
+                 sf0.01 driver oracle uses, on SF1_DOCS synthetic
+                 documents with planted near-duplicates (the text is
+                 generated once in Spark and exported to parquet, so
+                 both sides read identical bytes)
 
+Engine-side and oracle-side walls are recorded separately per check.
 Writes CORRECTNESS_sf1_spotcheck.json at the repo root.
 """
 
@@ -45,9 +51,18 @@ SCRATCH = os.environ.get("SF1_SCRATCH", "/tmp/sf1_edges.parquet")
 results: dict[str, dict] = {}
 
 
-def record(name, ok, wall, detail):
+def record(name, ok, wall, detail, engine_wall=None, oracle_wall=None):
     results[name] = {"ok": bool(ok), "wall_sec": round(wall, 1), "detail": detail}
-    print(f"[sf1] {name}: ok={ok} wall={wall:.1f}s {detail}", flush=True)
+    if engine_wall is not None:
+        results[name]["engine_wall_sec"] = round(engine_wall, 1)
+    if oracle_wall is not None:
+        results[name]["oracle_wall_sec"] = round(oracle_wall, 1)
+    extra = (
+        f" engine={engine_wall:.1f}s oracle={oracle_wall:.1f}s"
+        if engine_wall is not None and oracle_wall is not None
+        else ""
+    )
+    print(f"[sf1] {name}: ok={ok} wall={wall:.1f}s{extra} {detail}", flush=True)
 
 
 def main():
@@ -74,6 +89,7 @@ def main():
     sdeg = degrees(edges, nodes).select(
         "id", "degree_in", "degree_out"
     ).toPandas().sort_values("id").reset_index(drop=True)
+    te = time.monotonic() - t0
     odeg = con.sql("""
         WITH mv AS (
             SELECT src_id, dst_id FROM (
@@ -95,7 +111,9 @@ def main():
     ok = (sdeg["id"].tolist() == odeg["id"].tolist()
           and (sdeg["degree_in"].to_numpy() == odeg["degree_in"].to_numpy()).all()
           and (sdeg["degree_out"].to_numpy() == odeg["degree_out"].to_numpy()).all())
-    record("degrees", ok, time.monotonic() - t0, f"{len(sdeg)} vertices")
+    wall = time.monotonic() - t0
+    record("degrees", ok, wall, f"{len(sdeg)} vertices",
+           engine_wall=te, oracle_wall=wall - te)
 
     # -- pagerank, exactly 5 supersteps -------------------------------------
     t0 = time.monotonic()
@@ -103,6 +121,7 @@ def main():
 
     spr = pagerank(spark, edges, nodes=nodes, max_iter=5, tol=0.0, strict=False)
     spd = spr.select("id", F.round("rank", 6).alias("r")).toPandas()
+    te = time.monotonic() - t0
     opr = con.sql("""
         WITH RECURSIVE
         mv AS MATERIALIZED (
@@ -134,8 +153,10 @@ def main():
                 SELECT p2.iter, f.dst_id AS id, SUM(p2.rank * f.f) contrib
                 FROM pr p2 JOIN frac f ON p2.id = f.src_id
                 GROUP BY 1, 2) c ON c.id = p.id AND c.iter = p.iter
-            JOIN (SELECT p3.iter, COALESCE(SUM(p3.rank), 0) mass
-                  FROM pr p3 JOIN dang d ON p3.id = d.id
+            JOIN (SELECT p3.iter,
+                         COALESCE(SUM(CASE WHEN d.id IS NOT NULL
+                                           THEN p3.rank END), 0) mass
+                  FROM pr p3 LEFT JOIN dang d ON p3.id = d.id
                   GROUP BY 1) dm ON dm.iter = p.iter
             WHERE p.iter < 5
         )
@@ -144,14 +165,17 @@ def main():
     sm = dict(zip(spd["id"], spd["r"]))
     om = dict(zip(opr["id"], opr["r"]))
     bad = sum(1 for k in om if abs(sm.get(k, -1) - om[k]) > 1e-9)
+    wall = time.monotonic() - t0
     record("pagerank_iter5", bad == 0 and len(sm) == len(om),
-           time.monotonic() - t0, f"{len(om)} vertices, {bad} mismatches")
+           wall, f"{len(om)} vertices, {bad} mismatches",
+           engine_wall=te, oracle_wall=wall - te)
 
     # -- components vs numpy union-find -------------------------------------
     t0 = time.monotonic()
     from k2_18_spark.graph.components import connected_components
 
     scomp = connected_components(spark, edges, nodes=nodes).toPandas()
+    te = time.monotonic() - t0
     ep = edges.select("src_id", "dst_id").toPandas()
     su = ep["src_id"].str.slice(1).to_numpy(dtype=np.int64)
     dv = ep["dst_id"].str.slice(1).to_numpy(dtype=np.int64)
@@ -177,14 +201,17 @@ def main():
     want = {f"v{i}": rank_of[roots[i]] for i in range(NUM_V)}
     got = dict(zip(scomp["id"], scomp["component_id"]))
     bad = sum(1 for k, v in want.items() if got.get(k) != v)
+    wall = time.monotonic() - t0
     record("components_unionfind", bad == 0 and len(got) == NUM_V,
-           time.monotonic() - t0, f"{len(np.unique(roots))} components, {bad} mismatches")
+           wall, f"{len(np.unique(roots))} components, {bad} mismatches",
+           engine_wall=te, oracle_wall=wall - te)
 
     # -- triangles (global count) -------------------------------------------
     t0 = time.monotonic()
     from k2_18_spark.graph.triangles import triangle_count
 
     st = triangle_count(spark, edges)
+    te = time.monotonic() - t0
     # degree-oriented compact-forward (same skew guard as the engine —
     # a naive two-hop join would blow up on power-law hubs)
     ot = con.sql("""
@@ -212,16 +239,20 @@ def main():
                       OR (e1.dhi = e2.dhi AND e1.hi < e2.hi))
         JOIN o e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
     """).fetchone()[0]
-    record("triangle_count", int(st) == int(ot), time.monotonic() - t0,
-           f"spark={int(st)} duckdb={int(ot)}")
+    wall = time.monotonic() - t0
+    record("triangle_count", int(st) == int(ot), wall,
+           f"spark={int(st)} duckdb={int(ot)}",
+           engine_wall=te, oracle_wall=wall - te)
 
-    # -- LPA, 3 rounds, numpy trajectory replica ----------------------------
+    # -- LPA, 10 rounds, numpy trajectory replica ---------------------------
+    lpa_rounds = int(os.environ.get("SF1_LPA_ROUNDS", 10))
     t0 = time.monotonic()
     from k2_18_spark.graph.lpa import label_propagation
 
     slpa = label_propagation(
-        spark, edges, nodes=nodes, max_iter=3, vote_round=9
+        spark, edges, nodes=nodes, max_iter=lpa_rounds, vote_round=9
     ).toPandas()
+    te = time.monotonic() - t0
     # replica: same undirected projection / parity / argmax semantics
     mvp = con.sql("""
         SELECT LEAST(src_id, dst_id) a, GREATEST(src_id, dst_id) b,
@@ -238,7 +269,7 @@ def main():
     V = np.concatenate([av, bv]); Nb = np.concatenate([bv, av])
     W = np.concatenate([wv, wv])
     labels = np.arange(NUM_V, dtype=np.int64)
-    for it in range(3):
+    for it in range(lpa_rounds):
         par = it % 2
         mask = (V % 2) == par
         v_, nb_, w_ = V[mask], Nb[mask], W[mask]
@@ -266,8 +297,80 @@ def main():
     want = dict(zip("v" + lab_df["ord"].astype(str), lab_df["cid"]))
     got = dict(zip(slpa["id"], slpa["cluster_id"]))
     bad = sum(1 for k, v in want.items() if got.get(k) != v)
-    record("lpa_iter3_trajectory", bad == 0 and len(got) == NUM_V,
-           time.monotonic() - t0, f"{bad} mismatches")
+    wall = time.monotonic() - t0
+    record(f"lpa_iter{lpa_rounds}_trajectory", bad == 0 and len(got) == NUM_V,
+           wall, f"{bad} mismatches",
+           engine_wall=te, oracle_wall=wall - te)
+
+    # -- MinHash-LSH pairs vs the md5-60 DuckDB replica ---------------------
+    # Synthetic documents with planted near-duplicates (doc_id % 10 == 1
+    # repeats doc_id-1's words except the trailing token): text is
+    # generated ONCE in Spark and exported to parquet so engine and
+    # oracle read identical bytes. The oracle SQL is the very string the
+    # sf0.01 driver row uses (__spark_entry__._minhash_oracle).
+    n_docs = int(os.environ.get("SF1_DOCS", 100_000))
+    t0 = time.monotonic()
+    from __spark_entry__ import _minhash_oracle
+    from k2_18_spark.operators.dedup import minhash_lsh_pairs
+
+    base = F.when(
+        F.pmod(F.col("doc_id"), F.lit(10)) == 1, F.col("doc_id") - 1
+    ).otherwise(F.col("doc_id"))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(28)),
+        lambda j: F.concat(
+            F.lit("w"), F.pmod(F.xxhash64(base, j), F.lit(50_000))
+        ),
+    )
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.array_join(words, " "),
+                F.concat(F.lit("t"), F.col("doc_id")),
+            ).alias("text"),
+        )
+    )
+    doc_scratch = os.environ.get("SF1_DOC_SCRATCH", "/tmp/sf1_docs.parquet")
+    docs.write.mode("overwrite").parquet(doc_scratch)
+    docs_pq = spark.read.parquet(doc_scratch)
+    smh = (
+        minhash_lsh_pairs(docs_pq, threshold=0.5, token_hash="md5_60")
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    te = time.monotonic() - t0
+    con.sql(
+        f"CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM '{doc_scratch}/*.parquet'"
+    )
+    omh = (
+        con.sql(_minhash_oracle())
+        .df()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    ok = (
+        len(smh) == len(omh)
+        and smh["doc_a"].tolist() == omh["doc_a"].tolist()
+        and smh["doc_b"].tolist() == omh["doc_b"].tolist()
+        and (smh["jaccard"].to_numpy() == omh["jaccard"].to_numpy()).all()
+    )
+    wall = time.monotonic() - t0
+    record("minhash_lsh_pairs", ok, wall,
+           f"{n_docs} docs, spark={len(smh)} duckdb={len(omh)} pairs",
+           engine_wall=te, oracle_wall=wall - te)
+
+    # -- planted near-dup recall (independent of the replica) ---------------
+    t0 = time.monotonic()
+    got_pairs = set(zip(smh["doc_a"].tolist(), smh["doc_b"].tolist()))
+    planted = {(i - 1, i) for i in range(1, n_docs, 10)}
+    missing = len(planted - got_pairs)
+    record("minhash_planted_recall", missing == 0, time.monotonic() - t0,
+           f"{len(planted)} planted near-dup pairs, {missing} missed")
 
     with open(OUT, "w", encoding="utf-8") as f:
         json.dump({"num_vertices": NUM_V, "num_edges": m, "checks": results},

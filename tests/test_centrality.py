@@ -191,6 +191,32 @@ def test_superstep_matches_driver_path(spark, sample_k):
             nid, "closeness", drv[nid][1], sst[nid][1])
 
 
+def test_superstep_row_path_matches_columnar(spark, monkeypatch):
+    """The row-per-(source,vertex) superstep loop (the k > 64 fallback)
+    agrees with the columnar path — forced by shrinking the columnar
+    ceiling to 0."""
+    from k2_18_spark.graph import centrality as C
+
+    nodes, edges = _random_weighted_digraph(spark)
+    col = {
+        r["id"]: (r["betweenness_centrality"], r["out_closeness"])
+        for r in betweenness_closeness(
+            spark, edges, nodes=nodes, sample_k=10, method="superstep"
+        ).collect()
+    }
+    monkeypatch.setattr(C, "SUPERSTEP_COLUMNAR_MAX_K", 0)
+    row = {
+        r["id"]: (r["betweenness_centrality"], r["out_closeness"])
+        for r in betweenness_closeness(
+            spark, edges, nodes=nodes, sample_k=10, method="superstep"
+        ).collect()
+    }
+    assert set(col) == set(row)
+    for nid in col:
+        assert math.isclose(col[nid][0], row[nid][0], abs_tol=1e-9), nid
+        assert math.isclose(col[nid][1], row[nid][1], abs_tol=1e-9), nid
+
+
 def test_superstep_matches_networkx_exact(spark):
     """Full-source superstep Brandes vs networkx at 1e-9 (n=25)."""
     nodes, edges = _random_weighted_digraph(spark, n=25, m=100, seed=3)
