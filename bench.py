@@ -194,8 +194,9 @@ def main() -> None:
     elif os.environ.get("BENCH_SUPERSTEP_BETWEENNESS", "0") == "1":
         # above the CSR ceiling: the fully distributed superstep Brandes
         # (multi-source SSSP + DAG settling, NO driver collect).
-        # Opt-in: 8 sources at 15M edges measured 1385 s (BASELINE.md) —
-        # too heavy for the default per-round scaling bench.
+        # Opt-in: 8 sources at 15M edges measured 174-206 s after the
+        # round-4 columnar rewrite (BASELINE.md) — still too heavy for
+        # the default per-round scaling bench.
         timed(
             "betweenness_superstep_s8",
             lambda: betweenness_closeness(
