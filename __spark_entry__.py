@@ -704,6 +704,342 @@ def q_graph_centrality_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- typed block graph with planted cycles (G12/G13) -------------------------
+# Blocks of 10 doc_ids; even blocks carry two 3-cycles (r 0-1-2 and
+# r 5-6-7), a feeder tail (3→0), an exit tail (2→4), a mutual pair
+# (5↔6), and — the adversarial case — a cycle→bridge→cycle vertex
+# (2→8→5) that lies on NO cycle yet survives zero-degree peeling.
+# Odd blocks are acyclic chains plus an ELABORATES-typed mutual decoy
+# (3↔4) that the PREREQUISITE-filtered operators must ignore.
+_CYCLE_SPEC = [
+    # (block parity, src r, dst r, edge_type)
+    (0, 0, 1, "PREREQUISITE"),
+    (0, 1, 2, "PREREQUISITE"),
+    (0, 2, 0, "PREREQUISITE"),
+    (0, 3, 0, "PREREQUISITE"),
+    (0, 2, 4, "PREREQUISITE"),
+    (0, 5, 6, "PREREQUISITE"),
+    (0, 6, 7, "PREREQUISITE"),
+    (0, 7, 5, "PREREQUISITE"),
+    (0, 6, 5, "PREREQUISITE"),
+    (0, 2, 8, "PREREQUISITE"),
+    (0, 8, 5, "PREREQUISITE"),
+    (0, 4, 2, "ELABORATES"),
+    (1, 0, 1, "PREREQUISITE"),
+    (1, 1, 2, "PREREQUISITE"),
+    (1, 3, 1, "PREREQUISITE"),
+    (1, 3, 4, "ELABORATES"),
+    (1, 4, 3, "ELABORATES"),
+]
+
+_CYCLE_EDGES_SQL = (
+    "SELECT 'V' || d.doc_id AS src_id, "
+    "'V' || (d.doc_id - d.doc_id % 10 + s.r_dst) AS dst_id, "
+    "s.edge_type AS edge_type FROM documents d JOIN (VALUES "
+    + ", ".join(f"({p},{rs},{rd},'{t}')" for p, rs, rd, t in _CYCLE_SPEC)
+    + ") s(parity, r_src, r_dst, edge_type) "
+    "ON d.doc_id % 10 = s.r_src AND (d.doc_id // 10) % 2 = s.parity"
+)
+
+
+def _cycle_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    spec = spark.createDataFrame(
+        _CYCLE_SPEC, "parity int, r_src int, r_dst int, edge_type string"
+    )
+    return (
+        d.join(
+            F.broadcast(spec),
+            (F.pmod(F.col("doc_id"), F.lit(10)) == F.col("r_src"))
+            & (
+                F.pmod(F.floor(F.col("doc_id") / 10), F.lit(2))
+                == F.col("parity")
+            ),
+        )
+        .select(
+            F.concat(F.lit("V"), F.col("doc_id")).alias("src_id"),
+            F.concat(
+                F.lit("V"), F.col("doc_id") - F.col("r_src") + F.col("r_dst")
+            ).alias("dst_id"),
+            "edge_type",
+        )
+    )
+
+
+# -- typed node table (A8/A9/U5) ---------------------------------------------
+
+_TYPED_NODES_SQL = """
+SELECT 'D' || doc_id AS id,
+       CASE WHEN doc_id % 7 = 0 THEN 'Concept'
+            WHEN doc_id % 7 = 6 THEN 'Assessment'
+            ELSE 'Chunk' END AS type
+FROM documents
+"""
+
+
+def _typed_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mod 7, NOT mod 5: the chain edges stride 20 and gcd(7,20)=1, so
+    # every node type mixes with every neighbor type (a %5 rule would
+    # alias with the stride and no non-Concept would ever neighbor a
+    # Concept, making the A9 oracle vacuous)
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    r7 = F.pmod(F.col("doc_id"), F.lit(7))
+    return d.select(
+        F.concat(F.lit("D"), F.col("doc_id")).alias("id"),
+        F.when(r7 == 0, F.lit("Concept"))
+        .when(r7 == 6, F.lit("Assessment"))
+        .otherwise(F.lit("Chunk"))
+        .alias("type"),
+    )
+
+
+def _peel_oracle_sql(edges_sql: str, rounds: int = 6) -> str:
+    """Unrolled zero-in/out-degree peeling (the G12 oracle): each round
+    keeps edges whose BOTH endpoints appear as both a src and a dst in
+    the previous round's edge set. The planted block graph converges in
+    2 rounds; 6 unrolls give a safe fixpoint margin."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED (SELECT DISTINCT src_id, dst_id "
+        f"FROM ({edges_sql}) WHERE upper(edge_type) = 'PREREQUISITE' "
+        f"AND src_id <> dst_id)"
+    ]
+    # MATERIALIZED is load-bearing: each e{k} is referenced three
+    # times, so inlined CTEs would expand the plan 3^rounds-fold
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT src_id AS id FROM e{k - 1} "
+            f"INTERSECT SELECT dst_id FROM e{k - 1})"
+        )
+        parts.append(
+            f"e{k} AS MATERIALIZED (SELECT e.* FROM e{k - 1} e "
+            f"WHERE e.src_id IN (SELECT id FROM c{k}) "
+            f"AND e.dst_id IN (SELECT id FROM c{k}))"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT DISTINCT id FROM (SELECT src_id AS id FROM e{rounds} "
+        f"UNION SELECT dst_id FROM e{rounds})"
+    )
+
+
+def q_prereq_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12 (general): cyclic-core vertices by iterative zero-in/out-
+    degree peeling (viz/anomaly_detector.py:586-632) on the block
+    graph — includes the bridge vertex on no cycle that peeling
+    correctly keeps, and ELABORATES decoys it must ignore."""
+    from k2_18_spark.operators.anomalies import prerequisite_cycles
+
+    return prerequisite_cycles(_cycle_edges(spark, sf_dir))
+
+
+def q_prereq_bidirectional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12 (pair check): mutual PREREQUISITE pairs
+    (viz/anomaly_detector.py:294-335) — planted 5↔6 in even blocks;
+    the ELABORATES 3↔4 decoy and the mixed-type 2→4/4→2 pair must
+    be excluded."""
+    from k2_18_spark.operators.anomalies import bidirectional_prerequisites
+
+    return bidirectional_prerequisites(_cycle_edges(spark, sf_dir))
+
+
+def q_graph_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G13: reverse-BFS ancestors with depth over the demo-path edge
+    types (viz/graph2metrics.py:1413-1433) from V24 — traversal runs
+    through a 3-cycle (visited-set re-entry) and must not list the
+    start vertex itself."""
+    from k2_18_spark.pipeline.paths import ancestors
+
+    return ancestors(spark, _cycle_edges(spark, sf_dir), "V24")
+
+
+def q_graph_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+J10: top-30-by-PageRank trim, keep edges with BOTH endpoints
+    kept (viz/graph2metrics.py:1021-1091) — ranks rounded to the same
+    6dp grid on both sides so the cut line is deterministic."""
+    from k2_18_spark.graph.pagerank import pagerank
+    from k2_18_spark.operators.graph_ops import top_k_subgraph
+
+    edges = _graph_edges(spark, sf_dir)
+    ranks = pagerank(spark, edges, hub_top_k=32).select(
+        "id", F.round("rank", 6).alias("pr")
+    )
+    _, kept_edges = top_k_subgraph(ranks, edges, k=30, rank_col="pr")
+    return kept_edges.select(
+        "src_id", "dst_id", F.round("weight", 6).alias("weight")
+    )
+
+
+def q_mention_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: per-Concept distinct-neighbor index + count
+    (viz/graph2metrics.py:928-977); array flattened to a sorted
+    comma-joined string for the hash compare."""
+    from k2_18_spark.operators.enrich import mention_index
+
+    mi = mention_index(
+        _typed_nodes(spark, sf_dir), _typed_doc_edges(spark, sf_dir)
+    )
+    return mi.select(
+        "concept_id",
+        F.array_join("mentioned_by", ",").alias("mentioned_by"),
+        "mention_count",
+    )
+
+
+def q_node_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: per-non-Concept node, sorted distinct Concept neighbors
+    (viz/graph2metrics.py:980-1018)."""
+    from k2_18_spark.operators.enrich import node_concepts
+
+    nc = node_concepts(
+        _typed_nodes(spark, sf_dir), _typed_doc_edges(spark, sf_dir)
+    )
+    return nc.select("id", F.array_join("concepts", ",").alias("concepts"))
+
+
+def q_dangling_assessments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: Assessment nodes that never source a TESTS edge
+    (viz/anomaly_detector.py:552-584)."""
+    from k2_18_spark.operators.anomalies import dangling_assessments
+
+    return dangling_assessments(
+        _typed_nodes(spark, sf_dir), _typed_doc_edges(spark, sf_dir)
+    )
+
+
+def _rewrite_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup map over odd blocks: r=3 → block head,
+    r=2 → r=1. Rewriting the odd-block chain then exercises identity
+    pass-through, self-loop drop (1→2 becomes 1→1), and triple
+    collision (3→1 becomes 0→1, colliding with the existing 0→1)."""
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    r = F.pmod(F.col("doc_id"), F.lit(10))
+    odd = F.pmod(F.floor(F.col("doc_id") / 10), F.lit(2)) == 1
+    return (
+        d.filter(odd & r.isin(2, 3))
+        .select(
+            F.concat(F.lit("V"), F.col("doc_id")).alias("duplicate_id"),
+            F.concat(
+                F.lit("V"),
+                F.col("doc_id") - F.when(r == 3, F.lit(3)).otherwise(F.lit(1)),
+            ).alias("master_id"),
+        )
+    )
+
+
+_REWRITE_MAP_SQL = """
+SELECT 'V' || doc_id AS duplicate_id,
+       'V' || (doc_id - CASE WHEN doc_id % 10 = 3 THEN 3 ELSE 1 END)
+           AS master_id
+FROM documents
+WHERE (doc_id // 10) % 2 = 1 AND doc_id % 10 IN (2, 3)
+"""
+
+
+def q_edge_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+U1: dedup-map endpoint rewrite, self-loop removal, and
+    (src,dst,type)-triple dedupe (src/dedup.py:320-344)."""
+    from k2_18_spark.operators.graph_ops import rewrite_edges
+
+    return rewrite_edges(
+        _cycle_edges(spark, sf_dir), _rewrite_map(spark, sf_dir)
+    )
+
+
+def q_inter_cluster_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+G10: attach both endpoints' cluster ids and the inter-cluster
+    flag (viz/graph2metrics.py:581-617); clusters = doc block parity,
+    so block-crossing edges don't exist and the flag hinges on the
+    within-block cluster split (doc_id%10 >= 5)."""
+    from k2_18_spark.operators.graph_ops import mark_inter_cluster_edges
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    clusters = d.select(
+        F.concat(F.lit("V"), F.col("doc_id")).alias("id"),
+        (
+            F.floor(F.col("doc_id") / 10) * 2
+            + (F.pmod(F.col("doc_id"), F.lit(10)) >= 5).cast("int")
+        ).alias("cluster_id"),
+    )
+    out = mark_inter_cluster_edges(_cycle_edges(spark, sf_dir), clusters)
+    return out.select(
+        "src_id",
+        "dst_id",
+        "edge_type",
+        "source_cluster_id",
+        "target_cluster_id",
+        F.col("is_inter_cluster_edge").cast("int").alias("inter"),
+    )
+
+
+def q_drop_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: keep edges whose both endpoints exist in the node table
+    (src/itext2kg_graph.py:585-598) — nodes with doc_id%13==7 are
+    removed first so the filter actually bites."""
+    from k2_18_spark.operators.graph_ops import drop_dangling_edges
+
+    nodes = _typed_nodes(spark, sf_dir).filter(
+        F.pmod(F.expr("CAST(substring(id, 2) AS BIGINT)"), F.lit(13)) != 7
+    )
+    edges = _typed_doc_edges(spark, sf_dir)
+    out = drop_dangling_edges(edges, nodes)
+    return out.select(
+        "src_id", "dst_id", "edge_type", F.round("weight", 6).alias("weight")
+    )
+
+
+def q_pages_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule input shape end-to-end: synthesize a Common-Crawl-style
+    pages table (url, warc_ts, html binary, text, lang) distributed from
+    `documents`, extract text from the binary html with the vectorized
+    pandas-UDF extractor (decode chain + NFC + script/style span-cut,
+    reference src/slicer.py:163-241), mine hyperlink edges JVM-side,
+    and report per-url extraction checksum + degrees. The oracle
+    reconstructs the expected post-extraction text independently (it
+    knows which spans the cut removes), so `text_md5` verifies the
+    extractor byte-for-byte on every url."""
+    from k2_18_spark.pipeline.linkgraph import pages_link_pipeline
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    pages, edges = pages_link_pipeline(spark, docs)
+    outd = edges.groupBy(F.col("src_id").alias("url")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ind = edges.groupBy(F.col("dst_id").alias("url")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        pages.select(
+            "url",
+            F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+            F.length("text").alias("text_len"),
+        )
+        .join(outd, "url", "left")
+        .join(ind, "url", "left")
+        .select(
+            "url",
+            "text_md5",
+            "text_len",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
+def q_pages_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank-to-convergence over the MINED hyperlink edge table —
+    the full north-star path (synthesis → pandas-UDF extraction →
+    href mining → superstep PageRank) against the recursive-CTE
+    oracle, which regenerates the link rules arithmetically and never
+    sees the engine's HTML or extractor."""
+    from k2_18_spark.graph.pagerank import pagerank
+    from k2_18_spark.pipeline.linkgraph import pages_link_pipeline
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    _, edges = pages_link_pipeline(spark, docs)
+    ranks = pagerank(spark, edges.select("src_id", "dst_id", "weight"))
+    return ranks.select("id", F.round("rank", 6).alias("pagerank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -739,6 +1075,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "course_sequence": q_course_sequence,
         "edge_upsert": q_edge_upsert,
         "graph_centrality_bridge": q_graph_centrality_bridge,
+        "prereq_cycles": q_prereq_cycles,
+        "prereq_bidirectional": q_prereq_bidirectional,
+        "graph_ancestors": q_graph_ancestors,
+        "graph_trim": q_graph_trim,
+        "mention_index": q_mention_index,
+        "node_concepts": q_node_concepts,
+        "dangling_assessments": q_dangling_assessments,
+        "edge_rewrite": q_edge_rewrite,
+        "inter_cluster_edges": q_inter_cluster_edges,
+        "drop_dangling": q_drop_dangling,
+        "pages_linkgraph": q_pages_linkgraph,
+        "pages_pagerank": q_pages_pagerank,
     }
 
 
@@ -753,6 +1101,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # * aggregates/windows ARE allowed in the recursive term;
 # * every reference to the recursive table is keyed by an explicit iter
 #   column so the evaluation is insensitive to working-table semantics.
+
+# mined-hyperlink edge replica for the pages queries: regenerates the
+# deterministic link rules (k2_18_spark/pipeline/linkgraph.py LINK_RULES)
+# arithmetically — it never parses HTML, so agreement with the engine's
+# regexp-mined edges is an independent end-to-end check.
+_PAGES_EDGES_SQL = """
+    SELECT 'https://example.org/page/' || d.doc_id AS src_id,
+           'https://example.org/page/'
+             || ((d.doc_id * r.m + r.o)
+                 % (SELECT COUNT(*) FROM documents)) AS dst_id,
+           CAST(1.0 AS DOUBLE) AS weight
+    FROM documents d
+    JOIN (VALUES (7, 1, 0), (13, 3, 0), (3, 5, 1)) r(m, o, eo)
+      ON r.eo = 0 OR d.doc_id % 2 = 0
+    WHERE d.text IS NOT NULL
+"""
 
 _PAGERANK_ORACLE = """
 WITH RECURSIVE
@@ -1646,4 +2010,182 @@ def oracle_sql() -> dict[str, str]:
                 CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
             ) WHERE rank <= 10
         """,
+        "prereq_cycles": _peel_oracle_sql(_CYCLE_EDGES_SQL),
+        "prereq_bidirectional": f"""
+            WITH p AS MATERIALIZED (
+                SELECT DISTINCT src_id, dst_id FROM ({_CYCLE_EDGES_SQL})
+                WHERE upper(edge_type) = 'PREREQUISITE'
+            )
+            SELECT DISTINCT LEAST(p1.src_id, p1.dst_id) AS a,
+                            GREATEST(p1.src_id, p1.dst_id) AS b
+            FROM p p1 JOIN p p2
+              ON p1.src_id = p2.dst_id AND p1.dst_id = p2.src_id
+        """,
+        # G13: all path-lengths <= 12 via a deduped recursive CTE (the
+        # planted graph's true depth is 4), then MIN(depth) = BFS depth
+        "graph_ancestors": f"""
+            WITH RECURSIVE rev AS MATERIALIZED (
+                SELECT DISTINCT dst_id AS from_id, src_id AS to_id
+                FROM ({_CYCLE_EDGES_SQL})
+                WHERE upper(edge_type) IN
+                      ('PREREQUISITE', 'ELABORATES', 'EXAMPLE_OF')
+            ),
+            reach(id, depth) AS (
+                SELECT to_id, 1 FROM rev WHERE from_id = 'V24'
+                UNION
+                SELECT r.to_id, q.depth + 1
+                FROM reach q JOIN rev r ON r.from_id = q.id
+                WHERE q.depth < 12
+            )
+            SELECT id, CAST(MIN(depth) AS INT) AS depth
+            FROM reach WHERE id <> 'V24' GROUP BY id
+        """,
+        "graph_trim": f"""
+            WITH ranks AS MATERIALIZED (
+                SELECT * FROM (
+                    {_PAGERANK_ORACLE.format(edges_sql=_CO_SUPPLIER_SQL)}
+                )
+            ),
+            e AS MATERIALIZED ({_CO_SUPPLIER_SQL}),
+            kept AS (
+                SELECT id FROM ranks ORDER BY pagerank DESC, id ASC LIMIT 30
+            )
+            SELECT e.src_id, e.dst_id, ROUND(e.weight, 6) AS weight
+            FROM e
+            WHERE e.src_id IN (SELECT id FROM kept)
+              AND e.dst_id IN (SELECT id FROM kept)
+        """,
+        "mention_index": f"""
+            WITH n AS MATERIALIZED ({_TYPED_NODES_SQL}),
+            e AS MATERIALIZED ({_TYPED_DOC_SQL}),
+            nb AS (
+                SELECT DISTINCT id, nbr FROM (
+                    SELECT src_id AS id, dst_id AS nbr FROM e
+                    UNION ALL SELECT dst_id, src_id FROM e
+                )
+            )
+            SELECT nb.id AS concept_id,
+                   string_agg(nb.nbr, ',' ORDER BY nb.nbr) AS mentioned_by,
+                   COUNT(*) AS mention_count
+            FROM nb JOIN n t ON nb.id = t.id AND t.type = 'Concept'
+            GROUP BY nb.id
+        """,
+        "node_concepts": f"""
+            WITH n AS MATERIALIZED ({_TYPED_NODES_SQL}),
+            e AS MATERIALIZED ({_TYPED_DOC_SQL}),
+            nb AS (
+                SELECT DISTINCT id, nbr FROM (
+                    SELECT src_id AS id, dst_id AS nbr FROM e
+                    UNION ALL SELECT dst_id, src_id FROM e
+                )
+            )
+            SELECT nb.id AS id,
+                   string_agg(nb.nbr, ',' ORDER BY nb.nbr) AS concepts
+            FROM nb
+            JOIN n t ON nb.id = t.id AND t.type <> 'Concept'
+            JOIN n c ON nb.nbr = c.id AND c.type = 'Concept'
+            GROUP BY nb.id
+        """,
+        "dangling_assessments": f"""
+            WITH n AS ({_TYPED_NODES_SQL}),
+            e AS ({_TYPED_DOC_SQL})
+            SELECT id FROM n
+            WHERE type = 'Assessment'
+              AND id NOT IN (
+                  SELECT src_id FROM e WHERE upper(edge_type) = 'TESTS')
+        """,
+        "edge_rewrite": f"""
+            WITH e AS MATERIALIZED ({_CYCLE_EDGES_SQL}),
+            m AS MATERIALIZED ({_REWRITE_MAP_SQL})
+            SELECT DISTINCT
+                   COALESCE(ms.master_id, e.src_id) AS src_id,
+                   COALESCE(md.master_id, e.dst_id) AS dst_id,
+                   e.edge_type
+            FROM e
+            LEFT JOIN m ms ON e.src_id = ms.duplicate_id
+            LEFT JOIN m md ON e.dst_id = md.duplicate_id
+            WHERE COALESCE(ms.master_id, e.src_id)
+                  <> COALESCE(md.master_id, e.dst_id)
+        """,
+        "inter_cluster_edges": f"""
+            WITH e AS MATERIALIZED ({_CYCLE_EDGES_SQL}),
+            c AS MATERIALIZED (
+                SELECT 'V' || doc_id AS id,
+                       (doc_id // 10) * 2
+                           + CASE WHEN doc_id % 10 >= 5 THEN 1 ELSE 0 END
+                           AS cluster_id
+                FROM documents
+            )
+            SELECT e.src_id, e.dst_id, e.edge_type,
+                   cs.cluster_id AS source_cluster_id,
+                   ct.cluster_id AS target_cluster_id,
+                   CASE WHEN cs.cluster_id IS NOT NULL
+                             AND ct.cluster_id IS NOT NULL
+                             AND cs.cluster_id <> ct.cluster_id
+                        THEN 1 ELSE 0 END AS inter
+            FROM e
+            LEFT JOIN c cs ON e.src_id = cs.id
+            LEFT JOIN c ct ON e.dst_id = ct.id
+        """,
+        "drop_dangling": f"""
+            WITH n AS (
+                SELECT id FROM ({_TYPED_NODES_SQL}) WHERE
+                    CAST(substring(id, 2) AS BIGINT) % 13 <> 7
+            ),
+            e AS ({_TYPED_DOC_SQL})
+            SELECT e.src_id, e.dst_id, e.edge_type,
+                   ROUND(e.weight, 6) AS weight
+            FROM e
+            WHERE e.src_id IN (SELECT id FROM n)
+              AND e.dst_id IN (SELECT id FROM n)
+        """,
+        # north-rule pages table: the oracle reconstructs the expected
+        # post-extraction text directly (it knows the script/style spans
+        # the cut removes — each leaves only its trailing newline) and
+        # the link rules arithmetically; it never runs the engine's
+        # HTML parser, so text_md5 is an independent byte-level check
+        # of the pandas-UDF extractor on every url.
+        "pages_linkgraph": f"""
+            WITH nn AS MATERIALIZED (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+            pg AS MATERIALIZED (
+                SELECT d.doc_id,
+                       'https://example.org/page/' || d.doc_id AS url,
+                       CASE WHEN d.text IS NULL THEN NULL ELSE
+                       '<html><body>' || chr(10) || '<h1>Doc ' || d.doc_id
+                       || '</h1>' || chr(10)
+                       || CASE WHEN d.doc_id % 3 = 0 THEN chr(10) ELSE '' END
+                       || CASE WHEN d.doc_id % 5 = 0 THEN chr(10) ELSE '' END
+                       || '<p>' || d.text || '</p>' || chr(10)
+                       || '<a href="https://example.org/page/'
+                       || ((d.doc_id * 7 + 1) % nn.n) || '">r</a>' || chr(10)
+                       || '<a href="https://example.org/page/'
+                       || ((d.doc_id * 13 + 3) % nn.n) || '">r</a>' || chr(10)
+                       || CASE WHEN d.doc_id % 2 = 0 THEN
+                              '<a href="https://example.org/page/'
+                              || ((d.doc_id * 3 + 5) % nn.n) || '">r</a>'
+                              || chr(10)
+                          ELSE '' END
+                       || '</body></html>' || chr(10) END AS extracted
+                FROM documents d CROSS JOIN nn
+            ),
+            ed AS MATERIALIZED ({_PAGES_EDGES_SQL}),
+            outd AS (SELECT src_id AS url, COUNT(*) AS od FROM ed GROUP BY 1),
+            ind AS (SELECT dst_id AS url, COUNT(*) AS idg FROM ed GROUP BY 1)
+            SELECT pg.url, md5(pg.extracted) AS text_md5,
+                   length(pg.extracted) AS text_len,
+                   COALESCE(outd.od, 0) AS out_deg,
+                   COALESCE(ind.idg, 0) AS in_deg
+            FROM pg
+            LEFT JOIN outd ON pg.url = outd.url
+            LEFT JOIN ind ON pg.url = ind.url
+        """,
+        # DISTINCT: the engine's adjacency collapses parallel edges to one
+        # row per (src,dst) (reference metrics-view semantics, adjacency.py
+        # _collapse_multi); with uniform weight 1.0 that equals DISTINCT.
+        # The dedup also breaks the raw multigraph's accidental exact rank
+        # uniformity, so the oracle checks a non-degenerate fixed point.
+        "pages_pagerank": _PAGERANK_ORACLE.format(
+            edges_sql="SELECT DISTINCT * FROM (" + _PAGES_EDGES_SQL + ")"
+        ),
     }

@@ -220,6 +220,44 @@ def main() -> None:
     timed("pricing_summary", lambda: q["pricing_summary"](spark, sf_dir).count())
     timed("co_supplier_pagerank", lambda: q["graph_pagerank"](spark, sf_dir).count())
 
+    # -- north-rule pages pipeline: distributed synthesis of the
+    # (url, warc_ts, html binary, text, lang) table → Arrow-batched
+    # pandas-UDF extraction → JVM-side href mining → edge count
+    # (pipeline/linkgraph.py). Extraction is CPU-bound Python-worker
+    # work: the one workload class whose core-count scaling a single
+    # box demonstrates cleanly (no shuffle, no memory-bus superstep).
+    from k2_18_spark.pipeline.linkgraph import pages_link_pipeline
+
+    pages_n = int(os.environ.get("BENCH_PAGES_N", max(2000, int(1_000_000 * sf))))
+    if pages_n > 0:
+        pdocs = (
+            spark.range(pages_n)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.lit("web page body words "),
+                    F.col("id").cast("string"),
+                    F.lit(" "),
+                    F.repeat(F.lit("alpha beta gamma delta epsilon zeta "), 8),
+                ).alias("text"),
+                F.lit("en").alias("lang"),
+            )
+            .repartition(shuffle_parts)
+            .persist()
+        )
+        pdocs.count()
+
+        def run_pages():
+            _, p_edges = pages_link_pipeline(spark, pdocs, pages_n)
+            return p_edges.count()
+
+        extras["pages_edges"] = timed("pages_linkgraph", run_pages)
+        extras["pages_n"] = pages_n
+        extras["pages_per_sec"] = round(
+            pages_n / timings["pages_linkgraph"], 1
+        )
+        pdocs.unpersist()
+
     # -- embedding-dedup end-to-end on planted near-dup clusters
     # (synth.embedding_table: the sf embeddings have no cosine>0.6 pairs,
     # so dedup at a realistic 0.85 threshold needs planted structure).

@@ -64,12 +64,18 @@ def main() -> None:
         bet_eff = (
             low["queries"]["betweenness_s64"] / high["queries"]["betweenness_s64"]
         ) / 4.0
+    pages_eff = None
+    if low.get("pages_per_sec") and high.get("pages_per_sec"):
+        pages_eff = (high["pages_per_sec"] / low["pages_per_sec"]) / 4.0
     result = {
         "betweenness_scaling_efficiency": round(bet_eff, 3) if bet_eff else None,
         "metric": "scaling_efficiency_8_to_32",
         "value": round(eff, 3),
         "unit": "ratio",
         "pagerank_scaling_efficiency": round(pr_eff, 3) if pr_eff else None,
+        "pages_extract_scaling_efficiency": (
+            round(pages_eff, 3) if pages_eff else None
+        ),
         "graph_seconds_local8": round(t_low, 2),
         "graph_seconds_local32": round(t_high, 2),
         "bench_local8": low,

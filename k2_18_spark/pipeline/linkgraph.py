@@ -1,0 +1,146 @@
+"""Common-Crawl-style pages → hyperlink edge table (the north-rule path).
+
+The driver input_hint fixes the input shape: an Iceberg/parquet table of
+web pages with columns ``(url string, warc_ts timestamp, html binary,
+text string, lang string)``. This module is the end-to-end pipeline the
+north star describes over that shape:
+
+1. ``synth_pages`` — deterministic DISTRIBUTED synthesis of a pages
+   table from any ``(doc_id, text, lang)`` corpus. Pure column
+   expressions (no driver loop, no ``collect``): at 10^12 documents
+   this is a map-only stage that scales with the source table. Each
+   page embeds a ``<script>``/``<style>`` block on a deterministic
+   schedule (so the extractor has real work) plus 2–3 hyperlinks to
+   other pages computed with modular arithmetic (so the mined link
+   graph is deterministic, connected-ish, and non-bipartite).
+2. ``extract_text`` — the real extractor chain (utf-8→cp1251→latin1
+   decode fallback + NFC + script/style span-cut; reference semantics
+   ``src/slicer.py:163-241``) as ONE vectorized pandas UDF over the
+   binary ``html`` column. The UDF body runs once per Arrow batch;
+   per-url output is byte-identical to ``functions.text.preprocess_
+   text(decode_bytes(html))``.
+3. ``mine_links`` — hyperlink edge mining from the extracted text via
+   ``regexp_extract_all`` + ``explode`` (JVM codegen, zero Python),
+   producing the ``(src_id, dst_id, edge_type, weight)`` edge-table
+   shape every superstep loop in ``k2_18_spark.graph`` consumes.
+
+``__spark_entry__.py`` wires this into two driver-oracle queries:
+``pages_linkgraph`` (synthesis → extraction → mining → degrees, with
+an md5 checksum of every extracted text so the DuckDB oracle verifies
+extraction byte-for-byte) and ``pages_pagerank`` (PageRank-to-
+convergence over the mined edges vs the recursive-CTE oracle).
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k2_18_spark.functions.text import extract_udf
+
+PAGE_URL_PREFIX = "https://example.org/page/"
+#: (multiplier, offset) for each deterministic outbound link; the third
+#: link exists only on even doc_ids so out-degrees vary (2 or 3).
+LINK_RULES = ((7, 1), (13, 3))
+LINK_RULE_EVEN = (3, 5)
+_WARC_EPOCH = 1767225600  # 2026-01-01T00:00:00Z
+
+
+def _page_url(doc_id_col):
+    return F.concat(F.lit(PAGE_URL_PREFIX), doc_id_col.cast("string"))
+
+
+def synth_pages(docs: DataFrame, n_docs: int) -> DataFrame:
+    """(doc_id, text, lang) → (url, warc_ts, html binary, text, lang).
+
+    ``text`` is left NULL — it is the EXTRACTED text column and is
+    filled by :func:`extract_text`, mirroring a crawl table where the
+    raw WARC payload lands first. ``n_docs`` is the corpus size used
+    by the modular link rules (one scalar, computed once upstream).
+    """
+    did = F.col("doc_id")
+    parts = [
+        F.lit("<html><body>\n<h1>Doc "),
+        did.cast("string"),
+        F.lit("</h1>\n"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("<script>var x="), did.cast("string"), F.lit(";</script>\n")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("<style>p{color:red}</style>\n")).otherwise(
+            F.lit("")
+        ),
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit("</p>\n"),
+    ]
+    for mult, off in LINK_RULES:
+        parts += [
+            F.lit('<a href="' + PAGE_URL_PREFIX),
+            F.pmod(did * mult + off, F.lit(n_docs)).cast("string"),
+            F.lit('">r</a>\n'),
+        ]
+    em, eo = LINK_RULE_EVEN
+    parts.append(
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit('<a href="' + PAGE_URL_PREFIX),
+                F.pmod(did * em + eo, F.lit(n_docs)).cast("string"),
+                F.lit('">r</a>\n'),
+            ),
+        ).otherwise(F.lit(""))
+    )
+    parts.append(F.lit("</body></html>\n"))
+    return docs.select(
+        _page_url(did).alias("url"),
+        F.timestamp_seconds(F.lit(_WARC_EPOCH) + did * 60).alias("warc_ts"),
+        F.encode(F.concat(*parts), "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """Fill ``text`` from ``html`` with the vectorized extractor UDF."""
+    return pages.withColumn("text", extract_udf("html"))
+
+
+def mine_links(pages: DataFrame, url_prefix: str = PAGE_URL_PREFIX) -> DataFrame:
+    """Extracted text → (src_id, dst_id, edge_type, weight) edge table.
+
+    Duplicate anchors yield duplicate edge rows; degree queries count
+    them, while the superstep loops' adjacency build collapses parallel
+    edges to one row per (src,dst) (reference metrics-view semantics,
+    ``graph/adjacency.py::_collapse_multi`` — with the uniform 1.0
+    weight that equals DISTINCT). Entirely JVM-side: regexp_extract_all
+    + explode.
+    """
+    escaped = (
+        url_prefix.replace("\\", "\\\\").replace(".", "\\.").replace("/", "/")
+    )
+    pat = 'href="' + escaped + '(\\d+)"'
+    return (
+        pages.select(
+            F.col("url").alias("src_id"),
+            F.explode(
+                F.regexp_extract_all("text", F.lit(pat), F.lit(1))
+            ).alias("dst_num"),
+        )
+        .select(
+            "src_id",
+            F.concat(F.lit(url_prefix), F.col("dst_num")).alias("dst_id"),
+            F.lit("HYPERLINK").alias("edge_type"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+
+
+def pages_link_pipeline(
+    spark: SparkSession, docs: DataFrame, n_docs: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Full path: synthesize → extract → mine. Returns (pages, edges)."""
+    if n_docs is None:
+        n_docs = docs.count()
+    pages = extract_text(synth_pages(docs, n_docs))
+    return pages, mine_links(pages)

@@ -1,0 +1,104 @@
+"""Pages → hyperlink link-graph pipeline (pipeline/linkgraph.py).
+
+The north-rule input shape: (url, warc_ts, html binary, text, lang).
+Verifies distributed synthesis, the vectorized extractor on the binary
+column (byte-for-byte vs the pure-python reference chain), JVM-side
+edge mining vs the arithmetic link rules, NULL propagation, and that
+the mining stage stays out of Python.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from k2_18_spark.functions.text import decode_bytes, preprocess_text
+from k2_18_spark.pipeline.linkgraph import (
+    LINK_RULE_EVEN,
+    LINK_RULES,
+    PAGE_URL_PREFIX,
+    mine_links,
+    pages_link_pipeline,
+    synth_pages,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=i, text=f"body words {i} alpha beta", lang="en")
+        for i in range(30)
+    ]
+    rows[7] = Row(doc_id=7, text=None, lang="en")  # NULL-text page
+    return spark.createDataFrame(rows)
+
+
+def _expected_links(i: int, n: int) -> list[int]:
+    out = [(i * m + o) % n for m, o in LINK_RULES]
+    if i % 2 == 0:
+        m, o = LINK_RULE_EVEN
+        out.append((i * m + o) % n)
+    return out
+
+
+def test_schema_matches_input_hint(spark, docs):
+    pages = synth_pages(docs, 30)
+    assert [(f.name, f.dataType.simpleString()) for f in pages.schema.fields] == [
+        ("url", "string"),
+        ("warc_ts", "timestamp"),
+        ("html", "binary"),
+        ("text", "string"),
+        ("lang", "string"),
+    ]
+
+
+def test_extracted_text_byte_identical_per_url(spark, docs):
+    pages, _ = pages_link_pipeline(spark, docs, 30)
+    got = {r["url"]: r["text"] for r in pages.select("url", "text").collect()}
+    raw = {
+        r["url"]: r["html"]
+        for r in synth_pages(docs, 30).select("url", "html").collect()
+    }
+    assert len(got) == 30
+    for url, html in raw.items():
+        if html is None:
+            assert got[url] is None
+            continue
+        expect = preprocess_text(decode_bytes(bytes(html)))
+        assert got[url] == expect, url
+        assert "<script" not in got[url] and "<style" not in got[url]
+
+
+def test_mined_edges_match_link_rules(spark, docs):
+    _, edges = pages_link_pipeline(spark, docs, 30)
+    got = sorted(
+        (r["src_id"], r["dst_id"])
+        for r in edges.select("src_id", "dst_id").collect()
+    )
+    want = sorted(
+        (f"{PAGE_URL_PREFIX}{i}", f"{PAGE_URL_PREFIX}{j}")
+        for i in range(30)
+        if i != 7  # NULL text → no html → no outbound links
+        for j in _expected_links(i, 30)
+    )
+    assert got == want
+    types = edges.select("edge_type", "weight").distinct().collect()
+    assert [(r[0], r[1]) for r in types] == [("HYPERLINK", 1.0)]
+
+
+def test_mining_stage_is_jvm_only(spark, docs):
+    # extraction is a pandas UDF by design; the mining stage ON TOP of an
+    # already-extracted text column must not add any Python evaluation
+    pages = synth_pages(docs, 30).withColumn(
+        "text", F.col("html").cast("string")
+    )
+    plan = mine_links(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_null_text_propagates(spark, docs):
+    pages, edges = pages_link_pipeline(spark, docs, 30)
+    row = pages.filter(F.col("url") == f"{PAGE_URL_PREFIX}7").first()
+    assert row["text"] is None and row["html"] is None
+    assert edges.filter(F.col("src_id") == f"{PAGE_URL_PREFIX}7").count() == 0
+    # but page 7 still receives inbound links
+    assert edges.filter(F.col("dst_id") == f"{PAGE_URL_PREFIX}7").count() > 0
