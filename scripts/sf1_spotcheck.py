@@ -372,6 +372,60 @@ def main():
     record("minhash_planted_recall", missing == 0, time.monotonic() - t0,
            f"{len(planted)} planted near-dup pairs, {missing} missed")
 
+    # -- north-rule pages pipeline at 1M urls -------------------------------
+    # Synthesize → pandas-UDF extraction → href mining at SF1_PAGES
+    # documents, then replay the EXACT sf0.01 driver oracle (__spark_
+    # entry__.oracle_sql()["pages_linkgraph"]) against the exported
+    # corpus: the oracle reconstructs the post-extraction text and the
+    # link rules independently, so text_md5 equality is a byte-level
+    # check of the extractor on every one of the million urls.
+    n_pages = int(os.environ.get("SF1_PAGES", 1_000_000))
+    t0 = time.monotonic()
+    import pandas as pd
+    from __spark_entry__ import oracle_sql, queries
+
+    pwords = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda j: F.concat(
+            F.lit("w"), F.pmod(F.xxhash64(F.col("doc_id"), j), F.lit(50_000))
+        ),
+    )
+    pdocs = spark.range(n_pages).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(pwords, " ").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    pages_dir = os.environ.get("SF1_PAGES_SCRATCH", "/tmp/sf1_pages_sfdir")
+    pdocs.write.mode("overwrite").parquet(
+        os.path.join(pages_dir, "documents.parquet")
+    )
+    spg = (
+        queries()["pages_linkgraph"](spark, pages_dir)
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    te = time.monotonic() - t0
+    con.sql(
+        f"CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(pages_dir, 'documents.parquet')}/*.parquet'"
+    )
+    opg = (
+        con.sql(oracle_sql()["pages_linkgraph"])
+        .df()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    bad = 0
+    for c in ("url", "text_md5", "text_len", "out_deg", "in_deg"):
+        bad += int(
+            (spg[c].to_numpy() != opg[c].astype(spg[c].dtype).to_numpy()).sum()
+        )
+    wall = time.monotonic() - t0
+    record("pages_extract_mine", bad == 0 and len(spg) == n_pages, wall,
+           f"{n_pages} urls, {bad} field mismatches",
+           engine_wall=te, oracle_wall=wall - te)
+
     with open(OUT, "w", encoding="utf-8") as f:
         json.dump({"num_vertices": NUM_V, "num_edges": m, "checks": results},
                   f, indent=2)

@@ -102,3 +102,38 @@ def test_null_text_propagates(spark, docs):
     assert edges.filter(F.col("src_id") == f"{PAGE_URL_PREFIX}7").count() == 0
     # but page 7 still receives inbound links
     assert edges.filter(F.col("dst_id") == f"{PAGE_URL_PREFIX}7").count() > 0
+
+
+def test_run_linkgraph_script(tmp_path):
+    """spark-submit entry point (scripts/run_linkgraph.py) end-to-end at
+    tiny scale: synthesize → extract → mine → 4 graph metrics, resumable
+    checkpoint dir populated with lineage rows."""
+    import json
+    import subprocess
+    import sys
+    import os
+
+    out = tmp_path / "lg_out"
+    ck = tmp_path / "lg_ck"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, SPARK_MASTER="local[4]")
+    res = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "scripts", "run_linkgraph.py"),
+            "--synthetic", "500",
+            "--out", str(out),
+            "--checkpoint", str(ck),
+            "--lpa-rounds", "3",
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["pages"] == 500
+    # link rules emit 2 links always + 1 on even ids = 2.5 per page
+    assert summary["edges"] == 1250
+    assert (out / "edges").exists() and (out / "pagerank").exists()
+    assert (out / "components").exists() and (out / "lpa").exists()
+    # lineage written for the checkpointed superstep loops
+    assert any(ck.rglob("*.parquet"))
