@@ -704,6 +704,48 @@ def q_graph_centrality_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_centrality_multipath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6+G7 multi-path case: exact Brandes on a single global chain
+    (C_d → C_{d+1}, weight 1) with an equal-cost diamond every 50
+    positions (C_d → C_{d+2}, weight 0.5 → inverse distance 2.0 =
+    the two-hop path), so σ_st > 1 and the fractional δ credit is
+    exercised — diamond middles carry exactly half the betweenness of
+    their neighbors. The oracle is the closed form: every credit is a
+    multiple of 0.5 and every distance an integer, so engine sums are
+    IEEE-exact and the comparison needs no tolerance beyond the shared
+    9dp rounding (viz/graph2metrics.py:243-246 weighted-Brandes
+    semantics; WF out-closeness unchanged by the shortcuts)."""
+    from k2_18_spark.graph.centrality import betweenness_closeness
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    a, b = d.alias("a"), d.alias("b")
+    chain = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.concat(F.lit("C"), F.col("a.doc_id")).alias("src_id"),
+        F.concat(F.lit("C"), F.col("b.doc_id")).alias("dst_id"),
+        F.lit("NEXT").alias("edge_type"),
+        F.lit(1.0).alias("weight"),
+    )
+    shortcuts = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 2)
+            & (F.pmod(F.col("a.doc_id"), F.lit(50)) == 0),
+        )
+        .select(
+            F.concat(F.lit("C"), F.col("a.doc_id")).alias("src_id"),
+            F.concat(F.lit("C"), F.col("b.doc_id")).alias("dst_id"),
+            F.lit("NEXT").alias("edge_type"),
+            F.lit(0.5).alias("weight"),
+        )
+    )
+    cent = betweenness_closeness(spark, chain.unionByName(shortcuts))
+    return cent.select(
+        "id",
+        F.round("betweenness_centrality", 9).alias("betweenness"),
+        F.round("out_closeness", 9).alias("out_closeness"),
+    )
+
+
 # -- typed block graph with planted cycles (G12/G13) -------------------------
 # Blocks of 10 doc_ids; even blocks carry two 3-cycles (r 0-1-2 and
 # r 5-6-7), a feeder tail (3→0), an exit tail (2→4), a mutual pair
@@ -1075,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "course_sequence": q_course_sequence,
         "edge_upsert": q_edge_upsert,
         "graph_centrality_bridge": q_graph_centrality_bridge,
+        "graph_centrality_multipath": q_graph_centrality_multipath,
         "prereq_cycles": q_prereq_cycles,
         "prereq_bidirectional": q_prereq_bidirectional,
         "graph_ancestors": q_graph_ancestors,
@@ -2009,6 +2052,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings c
                 CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
             ) WHERE rank <= 10
+        """,
+        # closed form for the diamond-chain: raw betweenness of vertex v
+        # is v·(n−1−v) (every s<v<t pair credits 1 — both diamond arms
+        # merge at v for spanning pairs), HALVED at diamond middles
+        # (v ≡ 1 mod 50: each spanning pair splits σ evenly); engine
+        # scale mirrored as ×(1/((n−1)(n−2))). Out-closeness is the
+        # plain-chain WF form — the shortcut's inverse distance equals
+        # the two-hop path, so no distance changes.
+        "graph_centrality_multipath": """
+            WITH nn AS MATERIALIZED (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       COUNT(*) AS ni FROM documents)
+            SELECT 'C' || d.doc_id AS id,
+                   ROUND(
+                     (CASE WHEN d.doc_id % 50 = 1 THEN 0.5 ELSE 1.0 END
+                      * (CAST(d.doc_id AS DOUBLE)
+                         * (nn.n - 1.0 - d.doc_id)))
+                     * (1.0 / ((nn.n - 1.0) * (nn.n - 2.0))), 9
+                   ) AS betweenness,
+                   ROUND(
+                     CASE WHEN d.doc_id = nn.ni - 1 THEN 0.0 ELSE
+                       ((nn.n - 1.0 - d.doc_id)
+                        / ((nn.n - 1.0 - d.doc_id)
+                           * (nn.n - CAST(d.doc_id AS DOUBLE)) / 2.0))
+                       * ((nn.n - 1.0 - d.doc_id) / (nn.n - 1.0))
+                     END, 9
+                   ) AS out_closeness
+            FROM documents d CROSS JOIN nn
         """,
         "prereq_cycles": _peel_oracle_sql(_CYCLE_EDGES_SQL),
         "prereq_bidirectional": f"""
