@@ -151,7 +151,9 @@ def _components_loop(
         if store is not None:
             new_labels = store.save_state(it, new_labels, rows_in=n)
         else:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # lazy: the changed-count aggregate materializes the checkpoint
+            # in the SAME job — one scheduling round per superstep, not two
+            new_labels = new_labels.localCheckpoint(eager=False)
         changed = (
             new_labels.agg(
                 F.sum((F.col("label") != F.col("old_label")).cast("long"))
@@ -243,7 +245,9 @@ def _components_star_loop(spark, edges, nodes, max_iter, num_partitions):
             .filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the small-star checkpoint job below materializes this
+            # in the same scheduling round
+            .localCheckpoint(eager=False)
         )
         # small-star: on the (u > v) orientation, all small neighbors
         # and u itself link to m = min of the small neighborhood.

@@ -209,7 +209,7 @@ def _lpa_loop(
                 )
                 .select("v")
                 .distinct()
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)  # count() below materializes
             )
             if frontier.count() < max_frontier_broadcast:
                 # scan of the persisted half + broadcast semi-filter —
@@ -266,11 +266,14 @@ def _lpa_loop(
         if store is not None:
             new_labels = store.save_state(it, new_labels, rows_in=n)
         else:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # lazy: the changed_df count below computes new_labels and
+            # materializes BOTH checkpoints in one job (was three jobs:
+            # labels checkpoint, changed checkpoint, count)
+            new_labels = new_labels.localCheckpoint(eager=False)
         changed_df = (
             new_labels.filter(F.col("label") != F.col("old_label"))
             .select("id")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = changed_df.count()
         log.info("lpa iteration=%d changed=%d (n=%d)", it, changed, n)

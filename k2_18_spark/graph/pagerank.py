@@ -198,7 +198,9 @@ def _pagerank_loop(
         if store is not None:
             new_ranks = store.save_state(it, new_ranks, rows_in=n)
         else:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            # lazy: the delta aggregate below materializes the checkpoint
+            # in the SAME job — one scheduling round per superstep, not two
+            new_ranks = new_ranks.localCheckpoint(eager=False)
         err, dangling_mass = new_ranks.agg(
             F.sum(F.abs(F.col("rank") - F.col("prev_rank"))),
             F.sum(F.when(F.col("dangling"), F.col("rank"))),
