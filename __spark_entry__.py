@@ -1082,6 +1082,37 @@ def q_pages_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id", F.round("rank", 6).alias("pagerank"))
 
 
+_ANF_R = 8  # registers in the oracle-checked ANF queries
+
+
+def q_graph_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF sketches at saturation (= exact transitive-closure bitmaps)
+    on the doc-chain graph (diameter 4): every Flajolet-Martin
+    register of every vertex is compared bit-for-bit against a DuckDB
+    replica that unrolls the OR-propagation rounds in SQL. nf_bits
+    (Σ_r lowest-zero-bit position) is the integer core of the FM
+    estimator — hash-exact, unlike the float estimate (pytest covers
+    that: tests/test_anf.py)."""
+    from k2_18_spark.graph.anf import anf
+
+    res = anf(spark, _doc_chain_edges(spark, sf_dir), registers=_ANF_R)
+    scols = [f"s{r}" for r in range(_ANF_R)]
+    return res.sketches.select("id", *scols, "nf_bits")
+
+
+def q_graph_anf_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round neighborhood-function growth (exact total_bits) for
+    the first 4 ANF rounds — verifies that round t covers exactly the
+    ≤(t+1)-hop reachability, matching the SQL unrolling round for
+    round. The totals are per-round scalar aggregates (one row per
+    superstep), so materializing them driver-side is O(rounds)."""
+    from k2_18_spark.graph.anf import anf
+
+    res = anf(spark, _doc_chain_edges(spark, sf_dir), registers=_ANF_R)
+    rows = [(t["round"], t["total_bits"]) for t in res.totals[:4]]
+    return spark.createDataFrame(rows, "anf_round int, total_bits long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1130,6 +1161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_dangling": q_drop_dangling,
         "pages_linkgraph": q_pages_linkgraph,
         "pages_pagerank": q_pages_pagerank,
+        "graph_anf": q_graph_anf,
+        "graph_anf_totals": q_graph_anf_totals,
     }
 
 
@@ -1490,6 +1523,61 @@ _SHINGLES = (
     r"range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 2, 1) + 1), "
     r"i -> array_to_string(string_split_regex(trim(lower(text)), '\s+')[i:i+2], ' ')))"
 )
+
+
+# -- ANF (Flajolet-Martin neighborhood sketches) oracle ---------------------
+# Bit-exact SQL replica of graph/anf.py: identical md5-60 register
+# hashes, identical trailing-zeros bit placement, and the OR-merge
+# rounds unrolled as CTEs (the doc-chain graph has diameter 4, so s4
+# is the saturated sketch the engine converges to).
+
+
+def _anf_bits_sql() -> str:
+    return " + ".join(
+        f"CAST(ROUND(log2((s{r} + CAST(1 AS BIGINT)) & ~s{r})) AS INT)"
+        for r in range(_ANF_R)
+    )
+
+
+def _anf_oracle(rounds: int, select: str) -> str:
+    hcols = ",\n               ".join(
+        f"CAST(CONCAT('0x', substr(md5(id || ':{r}'), 1, 15)) AS BIGINT) AS h{r}"
+        for r in range(_ANF_R)
+    )
+    init = ",\n               ".join(
+        f"CAST(pow(2, CASE WHEN h{r} = 0 THEN 59 ELSE "
+        f"CAST(ROUND(log2(h{r} & -h{r})) AS INT) END) AS BIGINT) AS s{r}"
+        for r in range(_ANF_R)
+    )
+    merges = ""
+    for k in range(1, rounds + 1):
+        cols = ",\n                   ".join(
+            f"v.s{r} | COALESCE(bit_or(n.s{r}), 0) AS s{r}"
+            for r in range(_ANF_R)
+        )
+        grp = ", ".join(["v.id"] + [f"v.s{r}" for r in range(_ANF_R)])
+        merges += f""",
+        s{k} AS (
+            SELECT v.id,
+                   {cols}
+            FROM s{k - 1} v
+            LEFT JOIN anf_edges e ON e.src_id = v.id
+            LEFT JOIN s{k - 1} n ON n.id = e.dst_id
+            GROUP BY {grp}
+        )"""
+    return f"""
+        WITH anf_edges AS ({_DOC_CHAIN_SQL}),
+        anf_verts AS (
+            SELECT DISTINCT id FROM (
+                SELECT src_id AS id FROM anf_edges
+                UNION ALL
+                SELECT dst_id AS id FROM anf_edges
+            )
+        ),
+        h AS (SELECT id, {hcols} FROM anf_verts),
+        s0 AS (SELECT id, {init} FROM h){merges}
+        {select}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2258,5 +2346,22 @@ def oracle_sql() -> dict[str, str]:
         # uniformity, so the oracle checks a non-degenerate fixed point.
         "pages_pagerank": _PAGERANK_ORACLE.format(
             edges_sql="SELECT DISTINCT * FROM (" + _PAGES_EDGES_SQL + ")"
+        ),
+        "graph_anf": _anf_oracle(
+            4,
+            "SELECT id, "
+            + ", ".join(f"s{r}" for r in range(_ANF_R))
+            + f", CAST({_anf_bits_sql()} AS BIGINT) AS nf_bits FROM s4",
+        ),
+        "graph_anf_totals": _anf_oracle(
+            4,
+            "SELECT * FROM ("
+            + " UNION ALL ".join(
+                f"SELECT CAST({k - 1} AS INT) AS anf_round, "
+                f"CAST(SUM({_anf_bits_sql()}) AS BIGINT) AS total_bits "
+                f"FROM s{k}"
+                for k in range(1, 5)
+            )
+            + ")",
         ),
     }
