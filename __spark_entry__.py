@@ -1085,6 +1085,21 @@ def q_pages_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANF_R = 8  # registers in the oracle-checked ANF queries
 
 
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg power iteration), 20 fixed
+    rounds on the co-supplier graph — deterministic mode so the DuckDB
+    recursive-CTE twin unrolls the exact same rounds (max-normalize
+    each round, L1-normalize the output, identical op order)."""
+    from k2_18_spark.graph.hits import hits
+
+    res = hits(spark, _graph_edges(spark, sf_dir), fixed_iter=20)
+    return res.select(
+        "id",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
 def q_graph_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANF sketches at saturation (= exact transitive-closure bitmaps)
     on the doc-chain graph (diameter 4): every Flajolet-Martin
@@ -1163,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_pagerank": q_pages_pagerank,
         "graph_anf": q_graph_anf,
         "graph_anf_totals": q_graph_anf_totals,
+        "graph_hits": q_graph_hits,
     }
 
 
@@ -1523,6 +1539,68 @@ _SHINGLES = (
     r"range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 2, 1) + 1), "
     r"i -> array_to_string(string_split_regex(trim(lower(text)), '\s+')[i:i+2], ' ')))"
 )
+
+
+# -- HITS oracle -------------------------------------------------------------
+# Recursive-CTE unrolling of the classic Kleinberg power iteration,
+# deterministic fixed-round mode (k2_18_spark/graph/hits.py, fixed_iter):
+# a = h·A (in-edges), h = a·Aᵀ (out-edges, THIS round's unnormalized a),
+# both max-normalized via `x * (1.0/max)` to mirror the engine's op
+# order, L1 output normalization. Parallel edges sum their weights.
+
+_HITS_ORACLE = """
+WITH RECURSIVE
+e0 AS MATERIALIZED ({edges_sql}),
+e AS MATERIALIZED (
+    SELECT src_id, dst_id, SUM(weight) AS w FROM e0 GROUP BY 1, 2
+),
+verts AS MATERIALIZED (
+    SELECT DISTINCT id FROM (
+        SELECT src_id AS id FROM e UNION ALL SELECT dst_id FROM e
+    )
+),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts),
+st(iter, id, h, a) AS (
+    SELECT 0, v.id, CAST(1.0 AS DOUBLE) / nn.n, CAST(0.0 AS DOUBLE)
+    FROM verts v CROSS JOIN nn
+    UNION ALL
+    SELECT s.iter, s.id,
+           s.h_raw * (CAST(1.0 AS DOUBLE) / MAX(s.h_raw) OVER ()),
+           s.a_raw * (CAST(1.0 AS DOUBLE) / MAX(s.a_raw) OVER ())
+    FROM (
+        SELECT p.iter + 1 AS iter, p.id,
+               COALESCE(ar.a_raw, CAST(0.0 AS DOUBLE)) AS a_raw,
+               COALESCE(hr.h_raw, CAST(0.0 AS DOUBLE)) AS h_raw
+        FROM st p
+        LEFT JOIN (
+            SELECT p2.iter, e_in.dst_id AS id, SUM(p2.h * e_in.w) AS a_raw
+            FROM st p2 JOIN e AS e_in ON p2.id = e_in.src_id
+            GROUP BY 1, 2
+        ) ar ON ar.id = p.id AND ar.iter = p.iter
+        LEFT JOIN (
+            SELECT ar2.iter, e_out.src_id AS id,
+                   SUM(ar2.a_raw * e_out.w) AS h_raw
+            FROM (
+                SELECT p3.iter, e_in2.dst_id AS id,
+                       SUM(p3.h * e_in2.w) AS a_raw
+                FROM st p3 JOIN e AS e_in2 ON p3.id = e_in2.src_id
+                GROUP BY 1, 2
+            ) ar2
+            JOIN e AS e_out ON ar2.id = e_out.dst_id
+            GROUP BY 1, 2
+        ) hr ON hr.id = p.id AND hr.iter = p.iter
+        WHERE p.iter < {k}
+    ) s
+)
+SELECT st.id,
+       ROUND(st.h * (CAST(1.0 AS DOUBLE) / f.hsum), 6) AS hub,
+       ROUND(st.a * (CAST(1.0 AS DOUBLE) / f.asum), 6) AS authority
+FROM st
+CROSS JOIN (
+    SELECT SUM(h) AS hsum, SUM(a) AS asum FROM st WHERE iter = {k}
+) f
+WHERE st.iter = {k}
+"""
 
 
 # -- ANF (Flajolet-Martin neighborhood sketches) oracle ---------------------
@@ -2353,6 +2431,7 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(f"s{r}" for r in range(_ANF_R))
             + f", CAST({_anf_bits_sql()} AS BIGINT) AS nf_bits FROM s4",
         ),
+        "graph_hits": _HITS_ORACLE.format(edges_sql=_CO_SUPPLIER_SQL, k=20),
         "graph_anf_totals": _anf_oracle(
             4,
             "SELECT * FROM ("
