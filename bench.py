@@ -141,6 +141,11 @@ def main() -> None:
         connected_components(spark, w_edges, nodes=w_nodes).count()
         label_propagation(spark, w_edges, nodes=w_nodes, max_iter=2).count()
         triangle_count(spark, w_edges)
+        from k2_18_spark.graph.anf import anf as _anf_w
+        from k2_18_spark.graph.hits import hits as _hits_w
+
+        _anf_w(spark, w_edges, nodes=w_nodes, registers=4).sketches.count()
+        _hits_w(spark, w_edges, nodes=w_nodes, fixed_iter=2).count()
         w_edges.unpersist(), w_nodes.unpersist()
 
     ckpt_dir = tempfile.mkdtemp(prefix="bench_ckpt_") if use_ckpt else None
@@ -204,6 +209,24 @@ def main() -> None:
             ).count(),
             n_runs=1,
         )
+
+    # ANF neighborhood sketches (16 FM registers, codegen'd bit_or
+    # supersteps, runs to saturation = graph diameter) and HITS
+    # (7 fixed Kleinberg rounds — comparable superstep count to the
+    # pagerank-to-convergence run above)
+    from k2_18_spark.graph.anf import anf
+    from k2_18_spark.graph.hits import hits
+
+    timed(
+        "anf_r16",
+        lambda: anf(
+            spark, edges, nodes=nodes, registers=16, max_rounds=64
+        ).sketches.count(),
+    )
+    timed(
+        "hits_i7",
+        lambda: hits(spark, edges, nodes=nodes, fixed_iter=7).count(),
+    )
 
     # graph section done — release its caches so the data-pipeline
     # queries below aren't fighting them for executor memory

@@ -111,6 +111,11 @@ def _hits_loop(
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
     )
+    # TWO persisted copies, one per join key: the a-step joins scores
+    # on src, the h-step joins this round's authorities on dst — with a
+    # single src-partitioned table the h-step would re-shuffle ALL
+    # edges every round (|E| ≫ |V| at scale); two copies keep every
+    # per-round shuffle at the |V|-row score vector
     e = e.repartition(*([num_partitions, "src"] if num_partitions else ["src"]))
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
     if e.count() == 0:
@@ -124,6 +129,11 @@ def _hits_loop(
         )
         verts.unpersist()
         return out
+
+    e_by_dst = e.repartition(
+        *([num_partitions, "dst"] if num_partitions else ["dst"])
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    e_by_dst.count()
 
     store = (
         CheckpointStore(spark, checkpoint_dir, job_name, state_version="hits-v1")
@@ -139,7 +149,11 @@ def _hits_loop(
         if last is not None:
             state = store.load_state(last).select("id", "h", "a")
             if store.load_marker(last).get("converged"):
-                return _finalize(state)
+                out = _finalize(state)
+                verts.unpersist()
+                e.unpersist()
+                e_by_dst.unpersist()
+                return out
             start = last + 1
     if state is None:
         state = verts.select(
@@ -159,7 +173,10 @@ def _hits_loop(
             .agg(F.sum("c").alias("a_raw"))
         )
         h_raw = (
-            e.join(a_raw.select(F.col("id").alias("dst"), "a_raw").hint("shuffle_hash"), "dst")
+            e_by_dst.join(
+                a_raw.select(F.col("id").alias("dst"), "a_raw").hint("shuffle_hash"),
+                "dst",
+            )
             .select("src", (F.col("a_raw") * F.col("w")).alias("c"))
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("c").alias("h_raw"))
@@ -216,6 +233,7 @@ def _hits_loop(
     out = _finalize(state)
     verts.unpersist()
     e.unpersist()
+    e_by_dst.unpersist()
     return out
 
 
