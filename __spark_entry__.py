@@ -1617,7 +1617,7 @@ def _anf_bits_sql() -> str:
     )
 
 
-def _anf_oracle(rounds: int, select: str) -> str:
+def _anf_oracle(rounds: int, select: str, edges_sql: str | None = None) -> str:
     hcols = ",\n               ".join(
         f"CAST(CONCAT('0x', substr(md5(id || ':{r}'), 1, 15)) AS BIGINT) AS h{r}"
         for r in range(_ANF_R)
@@ -1644,7 +1644,7 @@ def _anf_oracle(rounds: int, select: str) -> str:
             GROUP BY {grp}
         )"""
     return f"""
-        WITH anf_edges AS ({_DOC_CHAIN_SQL}),
+        WITH anf_edges AS ({edges_sql or _DOC_CHAIN_SQL}),
         anf_verts AS (
             SELECT DISTINCT id FROM (
                 SELECT src_id AS id FROM anf_edges

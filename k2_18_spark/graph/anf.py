@@ -101,6 +101,7 @@ def anf(
     nodes: DataFrame | None = None,
     registers: int = 32,
     max_rounds: int = 64,
+    fixed_rounds: int | None = None,
     checkpoint_dir: str | None = None,
     job_name: str = "anf",
     num_partitions: int | None = None,
@@ -109,6 +110,9 @@ def anf(
 
     Round t sketches cover every vertex reachable within t hops along
     edge direction; saturation (= transitive closure) stops the loop.
+    ``fixed_rounds=K`` instead runs exactly K rounds (no saturation
+    stop) — the bounded "neighborhood within K clicks" query, and the
+    deterministic mode scale oracles replicate in SQL.
     """
     from k2_18_spark.session import superstep_conf
 
@@ -121,6 +125,7 @@ def anf(
             nodes,
             registers,
             max_rounds,
+            fixed_rounds,
             checkpoint_dir,
             job_name,
             num_partitions,
@@ -137,6 +142,7 @@ def _anf_loop(
     nodes,
     registers,
     max_rounds,
+    fixed_rounds,
     checkpoint_dir,
     job_name,
     num_partitions,
@@ -206,7 +212,8 @@ def _anf_loop(
         ).localCheckpoint(eager=True)
 
     bits_expr = _sum_bits_expr(scols)
-    for it in range(start_round, max_rounds):
+    rounds_limit = fixed_rounds if fixed_rounds is not None else max_rounds
+    for it in range(start_round, rounds_limit):
         nbr = (
             e.join(
                 sketches.select(F.col("id").alias("dst"), *scols).hint("shuffle_hash"),
@@ -258,10 +265,11 @@ def _anf_loop(
             )
         sketches = new.select("id", *scols)
         prev.unpersist()
-        if changed == 0:
+        if changed == 0 and fixed_rounds is None:
             break
     else:
-        raise RuntimeError(f"anf did not saturate in {max_rounds} rounds")
+        if fixed_rounds is None:
+            raise RuntimeError(f"anf did not saturate in {max_rounds} rounds")
 
     out = _with_estimates(sketches, registers)
     verts.unpersist()

@@ -426,6 +426,44 @@ def main():
            f"{n_pages} urls, {bad} field mismatches",
            engine_wall=te, oracle_wall=wall - te)
 
+    # -- ANF sketches, exactly 3 rounds, bit-exact at 15M edges --------------
+    # Every Flajolet-Martin register of every vertex after exactly 3
+    # OR-propagation rounds, engine vs the same SQL unrolling the
+    # sf0.01 driver oracle uses (__spark_entry__._anf_oracle), here
+    # pointed at the exported 15M-edge parquet. Integer equality on
+    # 8 registers + nf_bits per vertex — no tolerance anywhere.
+    t0 = time.monotonic()
+    from __spark_entry__ import _ANF_R, _anf_bits_sql, _anf_oracle
+    from k2_18_spark.graph.anf import anf
+
+    sanf = (
+        anf(spark, edges, registers=_ANF_R, fixed_rounds=3)
+        .sketches.drop("nf_estimate")
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    te = time.monotonic() - t0
+    anf_sql = _anf_oracle(
+        3,
+        "SELECT id, "
+        + ", ".join(f"s{r}" for r in range(_ANF_R))
+        + f", CAST({_anf_bits_sql()} AS BIGINT) AS nf_bits FROM s3",
+        edges_sql=(
+            "SELECT DISTINCT src_id, dst_id FROM e WHERE src_id <> dst_id"
+        ),
+    )
+    oanf = con.sql(anf_sql).df().sort_values("id").reset_index(drop=True)
+    bad = int((sanf["id"].to_numpy() != oanf["id"].to_numpy()).sum())
+    for c in [f"s{r}" for r in range(_ANF_R)] + ["nf_bits"]:
+        bad += int(
+            (sanf[c].to_numpy() != oanf[c].astype("int64").to_numpy()).sum()
+        )
+    wall = time.monotonic() - t0
+    record("anf_3round_sketches", bad == 0 and len(sanf) == len(oanf), wall,
+           f"{len(sanf)} vertices x {_ANF_R} registers, {bad} mismatches",
+           engine_wall=te, oracle_wall=wall - te)
+
     with open(OUT, "w", encoding="utf-8") as f:
         json.dump({"num_vertices": NUM_V, "num_edges": m, "checks": results},
                   f, indent=2)

@@ -162,6 +162,21 @@ def test_checkpoint_resume(spark, tmp_ckpt):
     ]
 
 
+def test_fixed_rounds_matches_trajectory(spark):
+    """fixed_rounds=K sketches equal the replica's K-merge snapshot
+    (and differ from saturation when K < diameter)."""
+    edge_list = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    res = anf(spark, _edges_df(spark, edge_list), registers=8, fixed_rounds=2)
+    snaps, _ = _py_anf(edge_list, registers=8)
+    got = {
+        row["id"]: [row[f"s{r}"] for r in range(8)]
+        for row in res.sketches.collect()
+    }
+    assert got == snaps[2]
+    assert res.rounds == 2
+    assert got != snaps[-1]  # not yet saturated at K=2 on a 4-chain
+
+
 def test_duplicate_edges_and_self_loops_ignored(spark):
     base = [("x", "y"), ("y", "z")]
     noisy = base + [("x", "y"), ("x", "x"), ("z", "z")]
