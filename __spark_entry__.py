@@ -125,6 +125,41 @@ JOIN documents b
 """
 
 
+def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-degree block graph for the k-core oracle: within
+    blocks of 25 doc_ids, doc d links to d+j for j = 1..1+(d%4).
+    Mixed degrees make the 3-core a proper nontrivial subgraph (~94%
+    of vertices survive after a 2-round peel cascade; k=4 collapses
+    the whole graph in 7 rounds — pytest covers that edge)."""
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(1) + F.pmod("doc_id", F.lit(4)))
+            ).alias("j"),
+        )
+        .filter(F.expr("(doc_id + j) DIV 25 = doc_id DIV 25"))
+        .select(
+            F.concat(F.lit("D"), F.col("doc_id")).alias("src_id"),
+            F.concat(F.lit("D"), F.col("doc_id") + F.col("j")).alias("dst_id"),
+            F.lit("LINK").alias("edge_type"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+
+
+_KCORE_EDGES_SQL = """
+SELECT 'D' || d.doc_id AS src_id,
+       'D' || (d.doc_id + v.j) AS dst_id,
+       'LINK' AS edge_type,
+       CAST(1.0 AS DOUBLE) AS weight
+FROM documents d CROSS JOIN (VALUES (1), (2), (3), (4)) v(j)
+WHERE v.j <= 1 + d.doc_id % 4
+  AND (d.doc_id + v.j) // 25 = d.doc_id // 25
+"""
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -864,6 +899,36 @@ def _peel_oracle_sql(edges_sql: str, rounds: int = 6) -> str:
     )
 
 
+def _kcore_oracle_sql(edges_sql: str, k: int, rounds: int = 8) -> str:
+    """Unrolled min-degree peeling: each round drops vertices whose
+    degree in the surviving simple undirected graph is < k. The block
+    graph's cascade is 2 rounds at k=3; 8 unrolls give fixpoint margin
+    (the per-block link pattern repeats, so cascade length is a small
+    constant independent of document count)."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED (SELECT DISTINCT "
+        f"least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS b "
+        f"FROM ({edges_sql}) WHERE src_id <> dst_id)"
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"k{t} AS MATERIALIZED (SELECT id FROM ("
+            f"SELECT a AS id FROM e{t - 1} UNION ALL SELECT b FROM e{t - 1}"
+            f") GROUP BY id HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f"e{t} AS MATERIALIZED (SELECT e.* FROM e{t - 1} e "
+            f"WHERE e.a IN (SELECT id FROM k{t}) "
+            f"AND e.b IN (SELECT id FROM k{t}))"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM ("
+        f"SELECT a AS id FROM e{rounds} UNION ALL SELECT b FROM e{rounds}"
+        f") GROUP BY id"
+    )
+
+
 def q_prereq_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G12 (general): cyclic-core vertices by iterative zero-in/out-
     degree peeling (viz/anomaly_detector.py:586-632) on the block
@@ -1128,6 +1193,16 @@ def q_graph_anf_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "anf_round int, total_bits long")
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (iterative min-degree peeling, Seidman
+    1983) at k=3 on the variable-degree block graph: survivors with
+    their in-core degree, compared exactly (integers) against a DuckDB
+    replica that unrolls the peel rounds in SQL."""
+    from k2_18_spark.graph.kcore import k_core
+
+    return k_core(spark, _kcore_edges(spark, sf_dir), k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1179,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_anf": q_graph_anf,
         "graph_anf_totals": q_graph_anf_totals,
         "graph_hits": q_graph_hits,
+        "graph_kcore": q_graph_kcore,
     }
 
 
@@ -2432,6 +2508,7 @@ def oracle_sql() -> dict[str, str]:
             + f", CAST({_anf_bits_sql()} AS BIGINT) AS nf_bits FROM s4",
         ),
         "graph_hits": _HITS_ORACLE.format(edges_sql=_CO_SUPPLIER_SQL, k=20),
+        "graph_kcore": _kcore_oracle_sql(_KCORE_EDGES_SQL, k=3),
         "graph_anf_totals": _anf_oracle(
             4,
             "SELECT * FROM ("
