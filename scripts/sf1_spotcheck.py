@@ -464,6 +464,49 @@ def main():
            f"{len(sanf)} vertices x {_ANF_R} registers, {bad} mismatches",
            engine_wall=te, oracle_wall=wall - te)
 
+    # -- k-core decomposition at 15M edges -----------------------------------
+    # Engine peeling loop vs a numpy replica of the same fixpoint
+    # (vectorized whole-round peel over the mirrored edge array —
+    # independent code path, exact integer (id, degree) equality).
+    # k=10 on the power-law graph keeps a dense hub core and peels the
+    # long tail through a multi-round cascade.
+    kc_k = int(os.environ.get("SF1_KCORE_K", 10))
+    t0 = time.monotonic()
+    from k2_18_spark.graph.kcore import k_core
+
+    skc = k_core(spark, edges, k=kc_k).toPandas()
+    te = time.monotonic() - t0
+    # numpy replica on the simple undirected projection
+    a0 = np.minimum(su, dv)
+    b0 = np.maximum(su, dv)
+    keep_e = a0 != b0
+    pair = np.unique(a0[keep_e].astype(np.int64) * NUM_V + b0[keep_e])
+    ea, eb = pair // NUM_V, pair % NUM_V
+    alive = np.ones(NUM_V, dtype=bool)
+    e_alive = np.ones(len(ea), dtype=bool)
+    rounds = 0
+    while True:
+        deg = np.bincount(ea[e_alive], minlength=NUM_V) + np.bincount(
+            eb[e_alive], minlength=NUM_V
+        )
+        peel = alive & (deg < kc_k)
+        if not peel.any():
+            break
+        alive &= ~peel
+        e_alive &= alive[ea] & alive[eb]
+        rounds += 1
+    deg = np.bincount(ea[e_alive], minlength=NUM_V) + np.bincount(
+        eb[e_alive], minlength=NUM_V
+    )
+    want_kc = {f"v{i}": int(deg[i]) for i in np.flatnonzero(deg >= kc_k)}
+    got_kc = dict(zip(skc["id"], skc["degree"].astype(int)))
+    bad = sum(1 for kk, vv in want_kc.items() if got_kc.get(kk) != vv)
+    wall = time.monotonic() - t0
+    record(f"kcore_k{kc_k}", bad == 0 and len(got_kc) == len(want_kc), wall,
+           f"{len(want_kc)} core vertices, {rounds} peel rounds, "
+           f"{bad} mismatches",
+           engine_wall=te, oracle_wall=wall - te)
+
     with open(OUT, "w", encoding="utf-8") as f:
         json.dump({"num_vertices": NUM_V, "num_edges": m, "checks": results},
                   f, indent=2)
