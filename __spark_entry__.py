@@ -1203,6 +1203,26 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(spark, _kcore_edges(spark, sf_dir), k=3)
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood link prediction (common neighbors / Jaccard /
+    Adamic-Adar, Liben-Nowell & Kleinberg 2003) on the variable-degree
+    block graph, NON-edge pairs only. Scores are short exact sums of
+    1/ln(deg) terms, rounded to 6 dp on both sides; the DuckDB twin
+    replicates the wedge-join formulation independently."""
+    from k2_18_spark.graph.linkpred import link_prediction
+
+    scores = link_prediction(
+        spark, _kcore_edges(spark, sf_dir), max_center_degree=None
+    )
+    return scores.select(
+        "id_a",
+        "id_b",
+        "common_neighbors",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1255,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_anf_totals": q_graph_anf_totals,
         "graph_hits": q_graph_hits,
         "graph_kcore": q_graph_kcore,
+        "link_prediction": q_link_prediction,
     }
 
 
@@ -2509,6 +2530,47 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_hits": _HITS_ORACLE.format(edges_sql=_CO_SUPPLIER_SQL, k=20),
         "graph_kcore": _kcore_oracle_sql(_KCORE_EDGES_SQL, k=3),
+        # wedge-join link prediction on the simple undirected projection
+        # (independent DuckDB formulation: adjacency self-join on the
+        # shared center, anti-join of existing edges)
+        "link_prediction": f"""
+            WITH raw AS ({_KCORE_EDGES_SQL}),
+            und AS MATERIALIZED (
+                SELECT DISTINCT LEAST(src_id, dst_id) AS a,
+                       GREATEST(src_id, dst_id) AS b
+                FROM raw WHERE src_id <> dst_id
+            ),
+            deg AS MATERIALIZED (
+                SELECT v, COUNT(*) AS deg FROM (
+                    SELECT a AS v FROM und UNION ALL SELECT b FROM und
+                ) GROUP BY v
+            ),
+            adj AS (
+                SELECT a AS center, b AS other FROM und
+                UNION ALL SELECT b, a FROM und
+            ),
+            pairs AS (
+                SELECT l.other AS id_a, r.other AS id_b,
+                       COUNT(*) AS common_neighbors,
+                       SUM(1.0 / ln(d.deg)) AS adamic_adar
+                FROM adj l
+                JOIN adj r ON l.center = r.center AND l.other < r.other
+                JOIN deg d ON d.v = l.center
+                GROUP BY 1, 2
+            ),
+            nonedge AS (
+                SELECT p.* FROM pairs p
+                ANTI JOIN und ON und.a = p.id_a AND und.b = p.id_b
+            )
+            SELECT n.id_a, n.id_b, n.common_neighbors,
+                   ROUND(CAST(n.common_neighbors AS DOUBLE)
+                         / (da.deg + db.deg - n.common_neighbors), 6)
+                       AS jaccard,
+                   ROUND(n.adamic_adar, 6) AS adamic_adar
+            FROM nonedge n
+            JOIN deg da ON da.v = n.id_a
+            JOIN deg db ON db.v = n.id_b
+        """,
         "graph_anf_totals": _anf_oracle(
             4,
             "SELECT * FROM ("
