@@ -1203,6 +1203,22 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(spark, _kcore_edges(spark, sf_dir), k=3)
 
 
+_PPR_SEEDS = ["S1", "S2", "S3"]
+
+
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart) to convergence
+    on the co-supplier graph, teleport uniform over three seed
+    suppliers — the DuckDB twin runs the same power iteration as a
+    recursive CTE with the sparse per-vertex teleport vector."""
+    from k2_18_spark.graph.pagerank import personalized_pagerank
+
+    ranks = personalized_pagerank(
+        spark, _graph_edges(spark, sf_dir), _PPR_SEEDS, hub_top_k=32
+    )
+    return ranks.select("id", F.round("rank", 6).alias("ppr"))
+
+
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood link prediction (common neighbors / Jaccard /
     Adamic-Adar, Liben-Nowell & Kleinberg 2003) on the variable-degree
@@ -1275,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_anf_totals": q_graph_anf_totals,
         "graph_hits": q_graph_hits,
         "graph_kcore": q_graph_kcore,
+        "graph_ppr": q_graph_ppr,
         "link_prediction": q_link_prediction,
     }
 
@@ -1420,6 +1437,61 @@ pr(iter, id, rank, dangling, err) AS (
     ) s
 )
 SELECT id, ROUND(rank, 6) AS {out_alias}
+FROM pr WHERE iter = (SELECT MAX(iter) FROM pr)
+"""
+
+
+# personalized PageRank: teleport vector uniform over the seed set,
+# dangling mass redistributed by the seed vector (nx personalization
+# semantics) — per-vertex sparse base instead of the scalar 1/n
+_PPR_ORACLE = """
+WITH RECURSIVE
+e0 AS MATERIALIZED ({edges_sql}),
+outw AS MATERIALIZED (SELECT src_id, SUM(weight) AS ow FROM e0 GROUP BY 1),
+e AS MATERIALIZED (
+    SELECT e0.src_id, e0.dst_id, e0.weight / outw.ow AS frac
+    FROM e0 JOIN outw ON e0.src_id = outw.src_id
+),
+verts AS MATERIALIZED (
+    SELECT v.id, v.id NOT IN (SELECT src_id FROM e0) AS dangling,
+           v.id IN ({seed_list}) AS is_seed
+    FROM (SELECT DISTINCT src_id AS id FROM e0
+          UNION SELECT DISTINCT dst_id FROM e0) v
+),
+nn AS MATERIALIZED (
+    SELECT COUNT(*) AS n,
+           SUM(CASE WHEN is_seed THEN 1 ELSE 0 END) AS ns
+    FROM verts
+),
+pr(iter, id, rank, dangling, pv, err) AS (
+    SELECT 0, v.id, CAST(1.0 AS DOUBLE) / nn.n, v.dangling,
+           CASE WHEN v.is_seed THEN CAST(1.0 AS DOUBLE) / nn.ns
+                ELSE CAST(0 AS DOUBLE) END,
+           CAST(1e18 AS DOUBLE)
+    FROM verts v CROSS JOIN nn
+    UNION ALL
+    SELECT s.iter, s.id, s.new_rank, s.dangling, s.pv,
+           SUM(ABS(s.new_rank - s.prev_rank)) OVER ()
+    FROM (
+        SELECT p.iter + 1 AS iter, p.id, p.dangling, p.pv,
+               p.rank AS prev_rank,
+               0.85 * COALESCE(c.contrib, CAST(0 AS DOUBLE))
+                 + (0.85 * dm.dmass + CAST(1.0 AS DOUBLE) - 0.85) * p.pv
+                   AS new_rank
+        FROM pr p
+        LEFT JOIN (
+            SELECT p2.iter, e.dst_id AS id, SUM(p2.rank * e.frac) AS contrib
+            FROM pr p2 JOIN e ON p2.id = e.src_id
+            GROUP BY 1, 2
+        ) c ON p.id = c.id AND p.iter = c.iter
+        JOIN (SELECT iter, COALESCE(SUM(CASE WHEN dangling THEN rank END),
+                                    CAST(0 AS DOUBLE)) AS dmass
+              FROM pr GROUP BY iter) dm ON dm.iter = p.iter
+        CROSS JOIN nn
+        WHERE p.err >= nn.n * CAST(1e-6 AS DOUBLE) AND p.iter < 100
+    ) s
+)
+SELECT id, ROUND(rank, 6) AS ppr
 FROM pr WHERE iter = (SELECT MAX(iter) FROM pr)
 """
 
@@ -2530,6 +2602,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_hits": _HITS_ORACLE.format(edges_sql=_CO_SUPPLIER_SQL, k=20),
         "graph_kcore": _kcore_oracle_sql(_KCORE_EDGES_SQL, k=3),
+        "graph_ppr": _PPR_ORACLE.format(
+            edges_sql=_CO_SUPPLIER_SQL,
+            seed_list=", ".join(f"'{s}'" for s in _PPR_SEEDS),
+        ),
         # wedge-join link prediction on the simple undirected projection
         # (independent DuckDB formulation: adjacency self-join on the
         # shared center, anti-join of existing edges)

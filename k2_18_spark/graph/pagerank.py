@@ -233,6 +233,195 @@ def _pagerank_loop(
     return out
 
 
+def personalized_pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: list[str],
+    nodes: DataFrame | None = None,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+    checkpoint_dir: str | None = None,
+    job_name: str = "ppr",
+    num_partitions: int | None = None,
+    hub_top_k: int = 256,
+    strict: bool = True,
+    adj: Adjacency | None = None,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart to ``seeds``)
+    → DataFrame (id, rank).
+
+    NetworkX ``pagerank(personalization=...)`` semantics: teleport
+    vector p uniform over the seed set, dangling mass redistributed by
+    p, L1 convergence err < n·tol from a uniform start. The update is
+
+        r' = alpha · (Aᵀ r) + (alpha · dangling_mass + 1 − alpha) · p
+
+    — identical plan shape to the global loop (same skew-split rank
+    join, same fused delta+dangling aggregate, one driver job per
+    superstep); the only difference is the per-vertex base, carried as
+    a sparse ``p`` column in the checkpointed state instead of a
+    scalar. Seeds absent from the graph are ignored; an empty
+    effective seed set raises ValueError (p would not normalize).
+    """
+    from k2_18_spark.session import superstep_conf
+
+    if not seeds:
+        raise ValueError("personalized_pagerank: empty seed set")
+    with superstep_conf(spark):
+        return _ppr_loop(
+            spark, edges, seeds, nodes, alpha, max_iter, tol,
+            checkpoint_dir, job_name, num_partitions, hub_top_k, strict,
+            adj,
+        )
+
+
+def _ppr_loop(
+    spark, edges, seeds, nodes, alpha, max_iter, tol, checkpoint_dir,
+    job_name, num_partitions, hub_top_k, strict, adj,
+) -> DataFrame:
+    own_adj = adj is None
+    if adj is None:
+        adj = build_adjacency(
+            edges, nodes, num_partitions=num_partitions, hub_top_k=hub_top_k
+        )
+    n = adj.n
+    if n == 0:
+        return spark.createDataFrame([], "id string, rank double")
+
+    seeds_df = spark.createDataFrame(
+        [(s,) for s in set(seeds)], "orig_id string"
+    )
+    seed_verts = adj.vertices.join(F.broadcast(seeds_df), "orig_id").select("id")
+    num_seeds = seed_verts.count()
+    if num_seeds == 0:
+        raise ValueError(
+            "personalized_pagerank: no seed is a vertex of the graph"
+        )
+    p_val = 1.0 / num_seeds
+
+    def decode(df: DataFrame) -> DataFrame:
+        return df.join(adj.vertices.select("id", "orig_id"), "id").select(
+            F.col("orig_id").alias("id"), "rank"
+        )
+
+    base_state = adj.vertices.join(
+        F.broadcast(seed_verts.withColumn("is_seed", F.lit(True))), "id", "left"
+    ).select(
+        "id",
+        "dangling",
+        F.when(F.col("is_seed"), F.lit(p_val)).otherwise(F.lit(0.0)).alias("p"),
+    )
+
+    if adj.edges.isEmpty():
+        # every vertex is dangling: the fixpoint of
+        # r = (alpha·Σr + 1 − alpha)·p is r = p
+        out = base_state.join(adj.vertices.select("id", "orig_id"), "id").select(
+            F.col("orig_id").alias("id"), F.col("p").alias("rank")
+        )
+        if own_adj:
+            out = out.localCheckpoint(eager=True)
+            adj.unpersist()
+        return out
+
+    store = (
+        CheckpointStore(
+            spark, checkpoint_dir, job_name, state_version="ppr-encoded-long-v1"
+        )
+        if checkpoint_dir
+        else None
+    )
+
+    start_iter = 0
+    ranks = None
+    if store is not None:
+        last = store.latest_iteration()
+        if last is not None:
+            ranks = store.load_state(last)
+            if store.load_marker(last).get("converged"):
+                return decode(ranks.select("id", "rank"))
+            start_iter = last + 1
+
+    if ranks is None:
+        ranks = base_state.select(
+            "id", F.lit(1.0 / n).alias("rank"), "dangling", "p"
+        ).localCheckpoint(eager=True)
+
+    dangling_mass = (
+        ranks.agg(F.sum(F.when(F.col("dangling"), F.col("rank")))).collect()[0][0]
+        or 0.0
+    )
+
+    global LAST_RUN_ITERATIONS
+    converged = False
+    it = start_iter - 1
+    for it in range(start_iter, max_iter):
+        prev_state = ranks
+        # same contribution join as the global superstep; the base is
+        # the sparse per-vertex p column instead of a scalar
+        rank_src = ranks.select(F.col("id").alias("src_id"), "rank").hint(
+            "shuffle_hash"
+        )
+        if adj.hub_ids:
+            hub_ranks = rank_src.filter(F.col("src_id").isin(adj.hub_ids))
+            tail_ranks = rank_src.filter(~F.col("src_id").isin(adj.hub_ids))
+            contribs = adj.edges_hub.join(
+                F.broadcast(hub_ranks), "src_id"
+            ).unionByName(adj.edges_tail.join(tail_ranks, "src_id"))
+        else:
+            contribs = adj.edges.join(rank_src, "src_id")
+        agg = (
+            contribs.select("dst_id", (F.col("rank") * F.col("frac")).alias("c"))
+            .groupBy(F.col("dst_id").alias("id"))
+            .agg(F.sum("c").alias("contrib"))
+        )
+        base_coef = alpha * dangling_mass + (1.0 - alpha)
+        new_ranks = (
+            ranks.select("id", F.col("rank").alias("prev_rank"), "dangling", "p")
+            .join(agg.hint("shuffle_hash"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.lit(base_coef) * F.col("p")
+                ).alias("rank"),
+                "prev_rank",
+                "dangling",
+                "p",
+            )
+        )
+        if store is not None:
+            new_ranks = store.save_state(it, new_ranks, rows_in=n)
+        else:
+            new_ranks = new_ranks.localCheckpoint(eager=False)
+        err, dangling_mass = new_ranks.agg(
+            F.sum(F.abs(F.col("rank") - F.col("prev_rank"))),
+            F.sum(F.when(F.col("dangling"), F.col("rank"))),
+        ).collect()[0]
+        err = err or 0.0
+        dangling_mass = dangling_mass or 0.0
+        ranks = new_ranks.select("id", "rank", "dangling", "p")
+        prev_state.unpersist()
+        if err < n * tol:
+            converged = True
+            if store is not None:
+                store.annotate(it, converged=True)
+            break
+
+    LAST_RUN_ITERATIONS = it + 1
+
+    if not converged and strict:
+        raise PowerIterationFailedConvergence(
+            f"personalized pagerank failed to converge in {max_iter} iterations"
+        )
+
+    out = decode(ranks.select("id", "rank"))
+    if own_adj:
+        out = out.localCheckpoint(eager=True)
+        adj.unpersist()
+    return out
+
+
 def educational_importance(
     spark: SparkSession,
     edges: DataFrame,

@@ -29,17 +29,23 @@ def pagerank_power(
     max_iter: int = 100,
     tol: float = 1e-6,
     weight: str = "weight",
+    personalization: dict | None = None,
 ) -> dict:
     """Pure-Python power iteration with NetworkX's exact semantics
-    (uniform personalization, dangling mass to personalization vector,
-    L1 convergence err < n*tol). scipy is unavailable in this sandbox,
-    so this stands in for nx.pagerank as the test oracle."""
+    (uniform or explicit personalization, dangling mass to the
+    personalization vector, L1 convergence err < n*tol). scipy is
+    unavailable in this sandbox, so this stands in for nx.pagerank as
+    the test oracle."""
     n = g.number_of_nodes()
     if n == 0:
         return {}
     nodes = list(g.nodes())
     x = {u: 1.0 / n for u in nodes}
-    p = {u: 1.0 / n for u in nodes}
+    if personalization is None:
+        p = {u: 1.0 / n for u in nodes}
+    else:
+        s = sum(personalization.values())
+        p = {u: personalization.get(u, 0.0) / s for u in nodes}
     out_wsum = {
         u: sum(d.get(weight, 1.0) for _, _, d in g.out_edges(u, data=True))
         for u in nodes
