@@ -507,6 +507,44 @@ def main():
            f"{bad} mismatches",
            engine_wall=te, oracle_wall=wall - te)
 
+    # -- personalized PageRank, exactly 5 supersteps --------------------------
+    # Engine superstep loop vs a numpy replica of the same fixpoint
+    # (vectorized contribution scatter per iteration; identical dedup —
+    # max weight per (src, dst) — via DuckDB on the scratch parquet).
+    ppr_seeds = [f"v{i}" for i in (0, NUM_V // 8, NUM_V - 1)]
+    t0 = time.monotonic()
+    from k2_18_spark.graph.pagerank import personalized_pagerank
+
+    sppr = personalized_pagerank(
+        spark, edges, ppr_seeds, nodes=nodes, max_iter=5, tol=0.0, strict=False
+    ).toPandas()
+    te = time.monotonic() - t0
+    mvw = con.sql(
+        "SELECT src_id, dst_id, MAX(weight) w FROM e GROUP BY 1, 2"
+    ).df()
+    ms = mvw["src_id"].str.slice(1).to_numpy(dtype=np.int64)
+    md = mvw["dst_id"].str.slice(1).to_numpy(dtype=np.int64)
+    mw = mvw["w"].to_numpy(dtype=np.float64)
+    outw = np.zeros(NUM_V)
+    np.add.at(outw, ms, mw)
+    frac = mw / outw[ms]
+    dang = outw == 0.0
+    p = np.zeros(NUM_V)
+    p[[int(s[1:]) for s in ppr_seeds]] = 1.0 / len(ppr_seeds)
+    r = np.full(NUM_V, 1.0 / NUM_V)
+    for _ in range(5):
+        contrib = np.zeros(NUM_V)
+        np.add.at(contrib, md, r[ms] * frac)
+        r = 0.85 * contrib + (0.85 * r[dang].sum() + 0.15) * p
+    got_ppr = dict(zip(sppr["id"], sppr["rank"]))
+    bad = sum(
+        1 for i in range(NUM_V) if abs(got_ppr.get(f"v{i}", -1.0) - r[i]) > 1e-9
+    )
+    wall = time.monotonic() - t0
+    record("ppr_iter5", bad == 0 and len(got_ppr) == NUM_V, wall,
+           f"{NUM_V} vertices, seeds {ppr_seeds}, {bad} mismatches",
+           engine_wall=te, oracle_wall=wall - te)
+
     with open(OUT, "w", encoding="utf-8") as f:
         json.dump({"num_vertices": NUM_V, "num_edges": m, "checks": results},
                   f, indent=2)
