@@ -100,8 +100,11 @@ def link_prediction(
     # the Σ before the (a, b) shuffle
     left = adj.select("center", F.col("other").alias("id_a"), "deg")
     right = adj.select("center", F.col("other").alias("id_b"))
+    # shuffle_hash: hash one adjacency copy per center-partition instead
+    # of sort-merge sorting BOTH copies (the cap bounds per-center rows,
+    # so the build side is safe even on power-law graphs)
     pair_scores = (
-        left.join(right, "center")
+        left.join(right.hint("shuffle_hash"), "center")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(
@@ -113,16 +116,27 @@ def link_prediction(
 
     if not include_existing:
         pair_scores = pair_scores.join(
-            und.select(F.col("a").alias("id_a"), F.col("b").alias("id_b")),
+            und.select(F.col("a").alias("id_a"), F.col("b").alias("id_b")).hint(
+                "shuffle_hash"
+            ),
             ["id_a", "id_b"],
             "left_anti",
         )
 
+    # degree joins: hash the |V|-row degree table, stream the pair set
     out = (
         pair_scores.join(
-            deg.select(F.col("v").alias("id_a"), F.col("deg").alias("deg_a")), "id_a"
+            deg.select(F.col("v").alias("id_a"), F.col("deg").alias("deg_a")).hint(
+                "shuffle_hash"
+            ),
+            "id_a",
         )
-        .join(deg.select(F.col("v").alias("id_b"), F.col("deg").alias("deg_b")), "id_b")
+        .join(
+            deg.select(F.col("v").alias("id_b"), F.col("deg").alias("deg_b")).hint(
+                "shuffle_hash"
+            ),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
