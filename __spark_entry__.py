@@ -929,6 +929,64 @@ def _kcore_oracle_sql(edges_sql: str, k: int, rounds: int = 8) -> str:
     )
 
 
+def _ktruss_oracle_sql(edges_sql: str, k: int, rounds: int = 4) -> str:
+    """Unrolled edge peeling: each round enumerates the surviving
+    simple graph's triangles (canonical p<q<r: wedge at p + closing
+    edge check) and drops edges with support < k−2. The block graph's
+    cascade is 1 round at k=4; 4 unrolls give fixpoint margin (extra
+    rounds are idempotent)."""
+    sup = k - 2
+
+    def tri_cte(t: int) -> str:
+        return (
+            f"tri{t} AS MATERIALIZED (SELECT u1.a AS p, u1.b AS q, u2.b AS r "
+            f"FROM e{t} u1 JOIN e{t} u2 ON u1.a = u2.a AND u1.b < u2.b "
+            f"WHERE EXISTS (SELECT 1 FROM e{t} u3 "
+            f"WHERE u3.a = u1.b AND u3.b = u2.b))"
+        )
+
+    def supp_cte(t: int) -> str:
+        return (
+            f"supp{t} AS MATERIALIZED (SELECT a, b, COUNT(*) AS cnt FROM ("
+            f"SELECT p AS a, q AS b FROM tri{t} "
+            f"UNION ALL SELECT p, r FROM tri{t} "
+            f"UNION ALL SELECT q, r FROM tri{t}) GROUP BY 1, 2)"
+        )
+
+    parts = [
+        f"WITH e0 AS MATERIALIZED (SELECT DISTINCT "
+        f"least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS b "
+        f"FROM ({edges_sql}) WHERE src_id <> dst_id)"
+    ]
+    for t in range(rounds):
+        parts.append(tri_cte(t))
+        parts.append(supp_cte(t))
+        parts.append(
+            f"e{t + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{t} e "
+            f"LEFT JOIN supp{t} s ON s.a = e.a AND s.b = e.b "
+            f"WHERE COALESCE(s.cnt, 0) >= {sup})"
+        )
+    parts.append(tri_cte(rounds))
+    parts.append(supp_cte(rounds))
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT e.a AS id_a, e.b AS id_b, "
+        f"CAST(COALESCE(s.cnt, 0) AS BIGINT) AS support "
+        f"FROM e{rounds} e "
+        f"LEFT JOIN supp{rounds} s ON s.a = e.a AND s.b = e.b"
+    )
+
+
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss (iterative triangle-support edge peeling, Cohen 2008)
+    at k=4 on the variable-degree block graph: surviving edges with
+    their within-truss support, compared exactly (integers) against a
+    DuckDB replica that unrolls the peel rounds in SQL."""
+    from k2_18_spark.graph.ktruss import k_truss
+
+    return k_truss(spark, _kcore_edges(spark, sf_dir), k=4)
+
+
 def q_prereq_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G12 (general): cyclic-core vertices by iterative zero-in/out-
     degree peeling (viz/anomaly_detector.py:586-632) on the block
@@ -1219,6 +1277,20 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id", F.round("rank", 6).alias("ppr"))
 
 
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient c(v) = 2T/(d(d−1)) on the simple
+    undirected projection of the co-supplier graph — the DuckDB twin
+    extends the triangle-count oracle with the degree ratio."""
+    from k2_18_spark.graph.triangles import clustering_coefficient
+
+    return clustering_coefficient(spark, _graph_edges(spark, sf_dir)).select(
+        "id",
+        "degree",
+        F.col("triangle_count").cast("long").alias("triangle_count"),
+        F.round("clustering", 6).alias("clustering"),
+    )
+
+
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood link prediction (common neighbors / Jaccard /
     Adamic-Adar, Liben-Nowell & Kleinberg 2003) on the variable-degree
@@ -1291,6 +1363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_anf_totals": q_graph_anf_totals,
         "graph_hits": q_graph_hits,
         "graph_kcore": q_graph_kcore,
+        "graph_ktruss": q_graph_ktruss,
+        "graph_clustering": q_graph_clustering,
         "graph_ppr": q_graph_ppr,
         "link_prediction": q_link_prediction,
     }
@@ -2602,6 +2676,57 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_hits": _HITS_ORACLE.format(edges_sql=_CO_SUPPLIER_SQL, k=20),
         "graph_kcore": _kcore_oracle_sql(_KCORE_EDGES_SQL, k=3),
+        "graph_ktruss": _ktruss_oracle_sql(_KCORE_EDGES_SQL, k=4),
+        # triangle-count oracle extended with the degree ratio
+        # c(v) = 2T/(d(d-1)) (0 where d < 2)
+        "graph_clustering": f"""
+            WITH e0 AS ({_CO_SUPPLIER_SQL}),
+            und AS (
+                SELECT DISTINCT LEAST(src_id, dst_id) AS a,
+                       GREATEST(src_id, dst_id) AS b
+                FROM e0 WHERE src_id <> dst_id
+            ),
+            deg AS (
+                SELECT v, COUNT(*) AS deg FROM (
+                    SELECT a AS v FROM und UNION ALL SELECT b FROM und
+                ) GROUP BY 1
+            ),
+            orient AS (
+                SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+                            THEN u.a ELSE u.b END AS lo,
+                       CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+                            THEN u.b ELSE u.a END AS hi
+                FROM und u
+                JOIN deg da ON u.a = da.v
+                JOIN deg db ON u.b = db.v
+            ),
+            tri AS (
+                SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+                FROM orient e1
+                JOIN orient e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+                WHERE EXISTS (
+                    SELECT 1 FROM und u
+                    WHERE u.a = LEAST(e1.hi, e2.hi) AND u.b = GREATEST(e1.hi, e2.hi)
+                )
+            ),
+            corners AS (
+                SELECT x AS id FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ),
+            verts AS (SELECT src_id AS id FROM e0 UNION SELECT dst_id FROM e0)
+            SELECT v.id,
+                   CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree,
+                   CAST(COALESCE(c.cnt, 0) AS BIGINT) AS triangle_count,
+                   ROUND(CASE WHEN COALESCE(d.deg, 0) >= 2
+                              THEN 2.0 * COALESCE(c.cnt, 0)
+                                   / (d.deg * (d.deg - 1))
+                              ELSE 0.0 END, 6) AS clustering
+            FROM verts v
+            LEFT JOIN (SELECT id, COUNT(*) AS cnt FROM corners GROUP BY 1) c
+                   ON v.id = c.id
+            LEFT JOIN deg d ON v.id = d.v
+        """,
         "graph_ppr": _PPR_ORACLE.format(
             edges_sql=_CO_SUPPLIER_SQL,
             seed_list=", ".join(f"'{s}'" for s in _PPR_SEEDS),

@@ -228,6 +228,18 @@ def main() -> None:
         lambda: hits(spark, edges, nodes=nodes, fixed_iter=7).count(),
     )
 
+    # neighborhood link prediction (CN/Jaccard/Adamic-Adar wedge join);
+    # cap 256 bounds hub wedge fan-out on the power-law graph — ~0.5M
+    # scored pairs at sf0.1 (drops logged by the operator)
+    from k2_18_spark.graph.linkpred import link_prediction
+
+    timed(
+        "linkpred_cap256",
+        lambda: link_prediction(
+            spark, edges, max_center_degree=256, min_common=2
+        ).count(),
+    )
+
     # graph section done — release its caches so the data-pipeline
     # queries below aren't fighting them for executor memory
     adj.unpersist()

@@ -107,3 +107,65 @@ def triangle_list(
 def triangle_count(spark: SparkSession, edges: DataFrame) -> int:
     """Global triangle count."""
     return triangle_list(spark, edges).count()
+
+
+def _simple_degrees(edges: DataFrame) -> DataFrame:
+    """Degrees on the simple undirected projection → (id, degree)."""
+    und = (
+        edges.select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return (
+        und.select(F.col("a").alias("id"))
+        .union(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def clustering_coefficient(
+    spark: SparkSession,
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Local clustering coefficient on the simple undirected graph →
+    (id, degree, triangle_count, clustering).
+
+    c(v) = 2·T(v) / (d(v)·(d(v)−1)), 0 where d < 2 (the nx.clustering
+    convention). Reuses the degree-oriented triangle counter, so the
+    wedge fan-out stays O(sqrt(E)) per vertex on power-law graphs; the
+    degree join hashes the |V|-row side."""
+    tri = triangles(spark, edges, nodes, num_partitions=num_partitions)
+    deg = _simple_degrees(edges)
+    return tri.join(deg.hint("shuffle_hash"), "id", "left").select(
+        "id",
+        F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+        "triangle_count",
+        F.when(
+            F.coalesce("degree", F.lit(0)) >= 2,
+            2.0
+            * F.col("triangle_count")
+            / (F.col("degree") * (F.col("degree") - F.lit(1))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+
+
+def transitivity(spark: SparkSession, edges: DataFrame) -> float:
+    """Global transitivity = 3·triangles / wedges (nx.transitivity;
+    0.0 on wedge-free graphs). One aggregate over the degree table plus
+    the triangle count — no per-vertex state on the driver."""
+    deg = _simple_degrees(edges)
+    wedges = (
+        deg.agg(F.sum(F.col("degree") * (F.col("degree") - 1) / 2)).collect()[0][0]
+        or 0
+    )
+    if wedges == 0:
+        return 0.0
+    return 3.0 * triangle_count(spark, edges) / float(wedges)
