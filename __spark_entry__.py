@@ -1291,6 +1291,22 @@ def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row global graph health stats: directed reciprocity
+    (nx.overall_reciprocity, on the co-supplier graph where mutual
+    edges exist) and degree assortativity (Pearson degree-degree
+    correlation, nx semantics, on the variable-degree block graph —
+    the co-supplier graph is too degree-uniform to correlate). The
+    DuckDB twin recomputes both from the raw moments."""
+    from k2_18_spark.graph.stats import degree_assortativity, reciprocity
+
+    r = reciprocity(spark, _graph_edges(spark, sf_dir))
+    a = degree_assortativity(spark, _kcore_edges(spark, sf_dir))
+    return spark.createDataFrame(
+        [(round(r, 6), round(a, 6))], "reciprocity double, assortativity double"
+    )
+
+
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood link prediction (common neighbors / Jaccard /
     Adamic-Adar, Liben-Nowell & Kleinberg 2003) on the variable-degree
@@ -1364,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "graph_kcore": q_graph_kcore,
         "graph_ktruss": q_graph_ktruss,
+        "graph_global_stats": q_graph_global_stats,
         "graph_clustering": q_graph_clustering,
         "graph_ppr": q_graph_ppr,
         "link_prediction": q_link_prediction,
@@ -2677,6 +2694,51 @@ def oracle_sql() -> dict[str, str]:
         "graph_hits": _HITS_ORACLE.format(edges_sql=_CO_SUPPLIER_SQL, k=20),
         "graph_kcore": _kcore_oracle_sql(_KCORE_EDGES_SQL, k=3),
         "graph_ktruss": _ktruss_oracle_sql(_KCORE_EDGES_SQL, k=4),
+        # reciprocity on the directed co-supplier graph (self-loops in
+        # the denominator, never reciprocated — nx.overall_reciprocity);
+        # assortativity = Pearson degree-degree correlation from raw
+        # moments over the mirrored undirected block-graph edges
+        "graph_global_stats": f"""
+            WITH ed AS MATERIALIZED (
+                SELECT DISTINCT src_id, dst_id FROM ({_CO_SUPPLIER_SQL})
+            ),
+            rec AS (
+                SELECT
+                    SUM(CASE WHEN e.src_id <> e.dst_id AND EXISTS (
+                            SELECT 1 FROM ed r
+                            WHERE r.src_id = e.dst_id AND r.dst_id = e.src_id)
+                        THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS reciprocity
+                FROM ed e
+            ),
+            und AS MATERIALIZED (
+                SELECT DISTINCT LEAST(src_id, dst_id) AS a,
+                       GREATEST(src_id, dst_id) AS b
+                FROM ({_KCORE_EDGES_SQL}) WHERE src_id <> dst_id
+            ),
+            deg AS (
+                SELECT v, COUNT(*) AS deg FROM (
+                    SELECT a AS v FROM und UNION ALL SELECT b FROM und
+                ) GROUP BY v
+            ),
+            xy AS (
+                SELECT CAST(da.deg AS DOUBLE) AS x, CAST(db.deg AS DOUBLE) AS y
+                FROM (SELECT a, b FROM und UNION ALL SELECT b, a FROM und) m
+                JOIN deg da ON da.v = m.a
+                JOIN deg db ON db.v = m.b
+            ),
+            mom AS (
+                SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+                       SUM(y * y) AS syy
+                FROM xy
+            )
+            SELECT ROUND(rec.reciprocity, 6) AS reciprocity,
+                   ROUND((sxy / n - (sx / n) * (sy / n))
+                         / SQRT((sxx / n - (sx / n) * (sx / n))
+                                * (syy / n - (sy / n) * (sy / n))), 6)
+                       AS assortativity
+            FROM rec, mom
+        """,
         # triangle-count oracle extended with the degree ratio
         # c(v) = 2T/(d(d-1)) (0 where d < 2)
         "graph_clustering": f"""
