@@ -545,6 +545,115 @@ def main():
            f"{NUM_V} vertices, seeds {ppr_seeds}, {bad} mismatches",
            engine_wall=te, oracle_wall=wall - te)
 
+    # -- clustering coefficient + k-truss (share one oracle triangle list) ----
+    # The 15M-edge graph has only ~10k triangles, so the DuckDB side
+    # materializes the full triangle LIST once (same degree-oriented
+    # compact-forward as the count check) and numpy derives both
+    # per-vertex clustering and per-edge truss support from it.
+    t_all = time.monotonic()
+    con.sql("""
+        CREATE TABLE tri AS
+        WITH und AS (
+            SELECT DISTINCT LEAST(src_id, dst_id) a, GREATEST(src_id, dst_id) b
+            FROM e WHERE src_id <> dst_id),
+        deg AS (
+            SELECT v, COUNT(*) d FROM (
+                SELECT a v FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        o AS (
+            SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+                        THEN u.a ELSE u.b END lo,
+                   CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+                        THEN u.b ELSE u.a END hi,
+                   CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+                        THEN db.d ELSE da.d END dhi
+            FROM und u
+            JOIN deg da ON da.v = u.a
+            JOIN deg db ON db.v = u.b)
+        SELECT e1.lo x, e1.hi y, e2.hi z FROM o e1
+        JOIN o e2 ON e1.lo = e2.lo
+                 AND ((e1.dhi < e2.dhi)
+                      OR (e1.dhi = e2.dhi AND e1.hi < e2.hi))
+        JOIN o e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+    """)
+    trip = con.sql("SELECT x, y, z FROM tri").df()
+    tri_oracle_wall = time.monotonic() - t_all
+    tx = trip["x"].str.slice(1).to_numpy(dtype=np.int64)
+    ty = trip["y"].str.slice(1).to_numpy(dtype=np.int64)
+    tz = trip["z"].str.slice(1).to_numpy(dtype=np.int64)
+    # simple-projection degrees (reuse the deduped mvw pull from the
+    # ppr leg: max-weight collapse keeps the same (src,dst) pair set)
+    pa = np.minimum(ms, md); pb = np.maximum(ms, md)
+    keep = pa != pb
+    upair = np.unique(pa[keep] * NUM_V + pb[keep])
+    ua, ub = upair // NUM_V, upair % NUM_V
+    udeg = np.bincount(ua, minlength=NUM_V) + np.bincount(ub, minlength=NUM_V)
+
+    # clustering: engine vs numpy 2T/(d(d-1))
+    t0 = time.monotonic()
+    from k2_18_spark.graph.triangles import clustering_coefficient
+
+    scl = clustering_coefficient(spark, edges, nodes).toPandas()
+    te = time.monotonic() - t0
+    tcount = np.zeros(NUM_V, dtype=np.int64)
+    for arr in (tx, ty, tz):
+        tcount += np.bincount(arr, minlength=NUM_V)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        want_c = np.where(
+            udeg >= 2, 2.0 * tcount / (udeg * (udeg - 1.0)), 0.0
+        )
+    got_ids = scl["id"].str.slice(1).to_numpy(dtype=np.int64)
+    bad = int(
+        (np.abs(scl["clustering"].to_numpy() - want_c[got_ids]) > 1e-12).sum()
+    ) + int((scl["degree"].to_numpy() != udeg[got_ids]).sum())
+    wall = time.monotonic() - t0 + tri_oracle_wall
+    record("clustering_coefficient", bad == 0 and len(scl) == NUM_V, wall,
+           f"{NUM_V} vertices, {int(tcount.sum()) // 3} triangles, "
+           f"{bad} mismatches",
+           engine_wall=te, oracle_wall=wall - te)
+
+    # k-truss k=3: numpy peel on the (tiny) triangle-supported edge set
+    kt_k = int(os.environ.get("SF1_KTRUSS_K", 3))
+    t0 = time.monotonic()
+    from k2_18_spark.graph.ktruss import k_truss
+
+    skt = k_truss(spark, edges, k=kt_k).toPandas()
+    te = time.monotonic() - t0
+    tris = {tuple(sorted(t)) for t in zip(tx, ty, tz)}
+    cur = {p for t in tris for p in
+           ((t[0], t[1]), (t[0], t[2]), (t[1], t[2]))}
+    # edges outside any triangle have support 0 — they survive only
+    # at k=2; at k>=3 the peel starts from the triangle-supported set,
+    # but the full edge set feeds round 1's support (superset: edges
+    # with no triangles can't gain support later)
+    while True:
+        sup: dict = {}
+        live_t = [t for t in tris if
+                  (t[0], t[1]) in cur and (t[0], t[2]) in cur
+                  and (t[1], t[2]) in cur]
+        for t in live_t:
+            for p in ((t[0], t[1]), (t[0], t[2]), (t[1], t[2])):
+                sup[p] = sup.get(p, 0) + 1
+        nxt = {p for p in cur if sup.get(p, 0) >= kt_k - 2}
+        if nxt == cur:
+            break
+        cur, tris = nxt, set(live_t)
+    want_kt = {}
+    for t in tris:
+        for p in ((t[0], t[1]), (t[0], t[2]), (t[1], t[2])):
+            if p in cur:
+                want_kt[p] = want_kt.get(p, 0) + 1
+    # engine canonicalizes by STRING id order ('v10' < 'v2'); renormalize
+    # to numeric order to match the replica's keys
+    got_kt = {
+        tuple(sorted((int(r["id_a"][1:]), int(r["id_b"][1:])))): int(r["support"])
+        for _, r in skt.iterrows()
+    }
+    bad = sum(1 for p, s in want_kt.items() if got_kt.get(p) != s)
+    wall = time.monotonic() - t0
+    record(f"ktruss_k{kt_k}", bad == 0 and len(got_kt) == len(want_kt), wall,
+           f"{len(want_kt)} truss edges, {bad} mismatches",
+           engine_wall=te, oracle_wall=wall - te)
+
     with open(OUT, "w", encoding="utf-8") as f:
         json.dump({"num_vertices": NUM_V, "num_edges": m, "checks": results},
                   f, indent=2)
