@@ -1205,6 +1205,55 @@ def q_pages_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id", F.round("rank", 6).alias("pagerank"))
 
 
+_HOST_N = 16  # hosts in the oracle-checked host-graph queries
+
+
+def q_host_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level rollup of the mined page graph (the Common-Crawl
+    host-graph artifact): pages synthesized across 16 deterministic
+    hosts, text extracted with the pandas-UDF chain, hrefs mined with
+    the any-host regexp, then ONE map-side-combinable groupBy collapses
+    page links to (src_host, dst_host, n_links, weight) — intra-host
+    rows included so the oracle checks both classes."""
+    from k2_18_spark.pipeline.hostgraph import host_edges
+    from k2_18_spark.pipeline.linkgraph import pages_link_pipeline
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    _, edges = pages_link_pipeline(spark, docs, n_hosts=_HOST_N)
+    out = host_edges(edges, include_intra=True)
+    return out.select(
+        "src_host",
+        "dst_host",
+        F.col("n_links").cast("long").alias("n_links"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank-to-convergence over the HOST graph (inter-host edges
+    only, link-count weights) — the standard first analysis on the
+    Common-Crawl host artifact. The oracle regenerates the host edges
+    arithmetically from the link rules and runs the recursive-CTE
+    power iteration; it never sees HTML, the extractor, or the
+    engine's rollup."""
+    from k2_18_spark.graph.pagerank import pagerank
+    from k2_18_spark.pipeline.hostgraph import host_edges
+    from k2_18_spark.pipeline.linkgraph import pages_link_pipeline
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    _, edges = pages_link_pipeline(spark, docs, n_hosts=_HOST_N)
+    hosts = host_edges(edges, include_intra=False)
+    ranks = pagerank(
+        spark,
+        hosts.select(
+            F.col("src_host").alias("src_id"),
+            F.col("dst_host").alias("dst_id"),
+            F.col("weight"),
+        ),
+    )
+    return ranks.select("id", F.round("rank", 6).alias("pagerank"))
+
+
 _ANF_R = 8  # registers in the oracle-checked ANF queries
 
 
@@ -1375,6 +1424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_dangling": q_drop_dangling,
         "pages_linkgraph": q_pages_linkgraph,
         "pages_pagerank": q_pages_pagerank,
+        "host_linkgraph": q_host_linkgraph,
+        "host_pagerank": q_host_pagerank,
         "graph_anf": q_graph_anf,
         "graph_anf_totals": q_graph_anf_totals,
         "graph_hits": q_graph_hits,
@@ -1409,6 +1460,20 @@ _PAGES_EDGES_SQL = """
              || ((d.doc_id * r.m + r.o)
                  % (SELECT COUNT(*) FROM documents)) AS dst_id,
            CAST(1.0 AS DOUBLE) AS weight
+    FROM documents d
+    JOIN (VALUES (7, 1, 0), (13, 3, 0), (3, 5, 1)) r(m, o, eo)
+      ON r.eo = 0 OR d.doc_id % 2 = 0
+    WHERE d.text IS NOT NULL
+"""
+
+# host-level replica of _PAGES_EDGES_SQL for the 16-host synthesis:
+# host(doc) = 'h' || (doc_id % 16) || '.example.org' on both endpoints
+# (k2_18_spark/pipeline/linkgraph.py::_page_url with n_hosts=16)
+_HOST_EDGES_SQL = """
+    SELECT 'h' || (d.doc_id % 16) || '.example.org' AS src_host,
+           'h' || (((d.doc_id * r.m + r.o)
+                    % (SELECT COUNT(*) FROM documents)) % 16)
+             || '.example.org' AS dst_host
     FROM documents d
     JOIN (VALUES (7, 1, 0), (13, 3, 0), (3, 5, 1)) r(m, o, eo)
       ON r.eo = 0 OR d.doc_id % 2 = 0
@@ -2684,6 +2749,26 @@ def oracle_sql() -> dict[str, str]:
         # uniformity, so the oracle checks a non-degenerate fixed point.
         "pages_pagerank": _PAGERANK_ORACLE.format(
             edges_sql="SELECT DISTINCT * FROM (" + _PAGES_EDGES_SQL + ")"
+        ),
+        # host rollup incl. intra-host rows; n_links counts page-level
+        # link rows, weight sums their uniform 1.0 weights
+        "host_linkgraph": f"""
+            SELECT src_host, dst_host,
+                   COUNT(*) AS n_links,
+                   ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS weight
+            FROM ({_HOST_EDGES_SQL})
+            GROUP BY 1, 2
+        """,
+        # inter-host edges with link-count weights → the same power
+        # iteration the page-level oracle uses
+        "host_pagerank": _PAGERANK_ORACLE.format(
+            edges_sql=f"""
+                SELECT src_host AS src_id, dst_host AS dst_id,
+                       CAST(COUNT(*) AS DOUBLE) AS weight
+                FROM ({_HOST_EDGES_SQL})
+                WHERE src_host <> dst_host
+                GROUP BY 1, 2
+            """
         ),
         "graph_anf": _anf_oracle(
             4,

@@ -44,17 +44,30 @@ LINK_RULE_EVEN = (3, 5)
 _WARC_EPOCH = 1767225600  # 2026-01-01T00:00:00Z
 
 
-def _page_url(doc_id_col):
-    return F.concat(F.lit(PAGE_URL_PREFIX), doc_id_col.cast("string"))
+def _page_url(doc_id_col, n_hosts: int = 1):
+    """Deterministic page URL; with ``n_hosts > 1`` pages spread across
+    ``h{doc_id % n_hosts}.example.org`` subdomain hosts (Common-Crawl
+    host-graph shape) while ``n_hosts=1`` keeps the original single-host
+    URLs byte-identical."""
+    if n_hosts <= 1:
+        return F.concat(F.lit(PAGE_URL_PREFIX), doc_id_col.cast("string"))
+    return F.concat(
+        F.lit("https://h"),
+        F.pmod(doc_id_col, F.lit(n_hosts)).cast("string"),
+        F.lit(".example.org/page/"),
+        doc_id_col.cast("string"),
+    )
 
 
-def synth_pages(docs: DataFrame, n_docs: int) -> DataFrame:
+def synth_pages(docs: DataFrame, n_docs: int, n_hosts: int = 1) -> DataFrame:
     """(doc_id, text, lang) → (url, warc_ts, html binary, text, lang).
 
     ``text`` is left NULL — it is the EXTRACTED text column and is
     filled by :func:`extract_text`, mirroring a crawl table where the
     raw WARC payload lands first. ``n_docs`` is the corpus size used
     by the modular link rules (one scalar, computed once upstream).
+    ``n_hosts`` spreads pages across that many deterministic hosts
+    (hrefs always carry the dst page's own host).
     """
     did = F.col("doc_id")
     parts = [
@@ -75,25 +88,27 @@ def synth_pages(docs: DataFrame, n_docs: int) -> DataFrame:
         F.lit("</p>\n"),
     ]
     for mult, off in LINK_RULES:
+        dst = F.pmod(did * mult + off, F.lit(n_docs))
         parts += [
-            F.lit('<a href="' + PAGE_URL_PREFIX),
-            F.pmod(did * mult + off, F.lit(n_docs)).cast("string"),
+            F.lit('<a href="'),
+            _page_url(dst, n_hosts),
             F.lit('">r</a>\n'),
         ]
     em, eo = LINK_RULE_EVEN
+    dst_even = F.pmod(did * em + eo, F.lit(n_docs))
     parts.append(
         F.when(
             did % 2 == 0,
             F.concat(
-                F.lit('<a href="' + PAGE_URL_PREFIX),
-                F.pmod(did * em + eo, F.lit(n_docs)).cast("string"),
+                F.lit('<a href="'),
+                _page_url(dst_even, n_hosts),
                 F.lit('">r</a>\n'),
             ),
         ).otherwise(F.lit(""))
     )
     parts.append(F.lit("</body></html>\n"))
     return docs.select(
-        _page_url(did).alias("url"),
+        _page_url(did, n_hosts).alias("url"),
         F.timestamp_seconds(F.lit(_WARC_EPOCH) + did * 60).alias("warc_ts"),
         F.encode(F.concat(*parts), "UTF-8").alias("html"),
         F.lit(None).cast("string").alias("text"),
@@ -106,7 +121,9 @@ def extract_text(pages: DataFrame) -> DataFrame:
     return pages.withColumn("text", extract_udf("html"))
 
 
-def mine_links(pages: DataFrame, url_prefix: str = PAGE_URL_PREFIX) -> DataFrame:
+def mine_links(
+    pages: DataFrame, url_prefix: str | None = PAGE_URL_PREFIX
+) -> DataFrame:
     """Extracted text → (src_id, dst_id, edge_type, weight) edge table.
 
     Duplicate anchors yield duplicate edge rows; degree queries count
@@ -115,7 +132,20 @@ def mine_links(pages: DataFrame, url_prefix: str = PAGE_URL_PREFIX) -> DataFrame
     ``graph/adjacency.py::_collapse_multi`` — with the uniform 1.0
     weight that equals DISTINCT). Entirely JVM-side: regexp_extract_all
     + explode.
+
+    ``url_prefix=None`` mines ANY absolute http(s) href (multi-host
+    crawls); otherwise only links under the given prefix are kept.
     """
+    if url_prefix is None:
+        pat = 'href="(https?://[^"]+)"'
+        return pages.select(
+            F.col("url").alias("src_id"),
+            F.explode(
+                F.regexp_extract_all("text", F.lit(pat), F.lit(1))
+            ).alias("dst_id"),
+            F.lit("HYPERLINK").alias("edge_type"),
+            F.lit(1.0).alias("weight"),
+        )
     escaped = (
         url_prefix.replace("\\", "\\\\").replace(".", "\\.").replace("/", "/")
     )
@@ -137,10 +167,14 @@ def mine_links(pages: DataFrame, url_prefix: str = PAGE_URL_PREFIX) -> DataFrame
 
 
 def pages_link_pipeline(
-    spark: SparkSession, docs: DataFrame, n_docs: int | None = None
+    spark: SparkSession,
+    docs: DataFrame,
+    n_docs: int | None = None,
+    n_hosts: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Full path: synthesize → extract → mine. Returns (pages, edges)."""
     if n_docs is None:
         n_docs = docs.count()
-    pages = extract_text(synth_pages(docs, n_docs))
-    return pages, mine_links(pages)
+    pages = extract_text(synth_pages(docs, n_docs, n_hosts=n_hosts))
+    prefix = PAGE_URL_PREFIX if n_hosts <= 1 else None
+    return pages, mine_links(pages, url_prefix=prefix)
