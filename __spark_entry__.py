@@ -1254,6 +1254,26 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id", F.round("rank", 6).alias("pagerank"))
 
 
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl summary (pages hosted, out/in link totals,
+    intra-host share) over the 16-host synthesis — three partial
+    aggregates joined on the small host key, each input touched once."""
+    from k2_18_spark.pipeline.hostgraph import host_stats
+    from k2_18_spark.pipeline.linkgraph import pages_link_pipeline
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    pages, edges = pages_link_pipeline(spark, docs, n_hosts=_HOST_N)
+    out = host_stats(pages, edges)
+    return out.select(
+        "host",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("out_links").cast("long").alias("out_links"),
+        F.col("in_links").cast("long").alias("in_links"),
+        F.col("intra_links").cast("long").alias("intra_links"),
+        F.round("intra_ratio", 6).alias("intra_ratio"),
+    )
+
+
 _ANF_R = 8  # registers in the oracle-checked ANF queries
 
 
@@ -1426,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_pagerank": q_pages_pagerank,
         "host_linkgraph": q_host_linkgraph,
         "host_pagerank": q_host_pagerank,
+        "host_stats": q_host_stats,
         "graph_anf": q_graph_anf,
         "graph_anf_totals": q_graph_anf_totals,
         "graph_hits": q_graph_hits,
@@ -2758,6 +2779,40 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS weight
             FROM ({_HOST_EDGES_SQL})
             GROUP BY 1, 2
+        """,
+        # per-host page counts from documents directly; link totals from
+        # the arithmetic host-edge replica (pages with NULL text host
+        # zero links but still count as pages, both sides)
+        "host_stats": f"""
+            WITH he AS MATERIALIZED ({_HOST_EDGES_SQL}),
+            hosts AS (
+                SELECT 'h' || (doc_id % 16) || '.example.org' AS host,
+                       CAST(COUNT(*) AS BIGINT) AS n_pages
+                FROM documents GROUP BY 1
+            ),
+            outs AS (
+                SELECT src_host AS host,
+                       CAST(COUNT(*) AS BIGINT) AS out_links,
+                       CAST(SUM(CASE WHEN src_host = dst_host
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                         AS intra_links
+                FROM he GROUP BY 1
+            ),
+            ins AS (
+                SELECT dst_host AS host, CAST(COUNT(*) AS BIGINT) AS in_links
+                FROM he GROUP BY 1
+            )
+            SELECT h.host, h.n_pages,
+                   COALESCE(o.out_links, 0) AS out_links,
+                   COALESCE(i.in_links, 0) AS in_links,
+                   COALESCE(o.intra_links, 0) AS intra_links,
+                   ROUND(CASE WHEN COALESCE(o.out_links, 0) > 0
+                              THEN o.intra_links * CAST(1.0 AS DOUBLE)
+                                   / o.out_links
+                              ELSE CAST(0.0 AS DOUBLE) END, 6) AS intra_ratio
+            FROM hosts h
+            LEFT JOIN outs o USING (host)
+            LEFT JOIN ins i USING (host)
         """,
         # inter-host edges with link-count weights → the same power
         # iteration the page-level oracle uses

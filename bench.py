@@ -291,6 +291,19 @@ def main() -> None:
         extras["pages_per_sec"] = round(
             pages_n / timings["pages_linkgraph"], 1
         )
+
+        # -- host-graph rollup (pipeline/hostgraph.py): the Common-Crawl
+        # host artifact — same synthesis spread over 1024 hosts, any-host
+        # mining, then ONE map-side-combinable groupBy to host pairs.
+        from k2_18_spark.pipeline.hostgraph import host_edges
+
+        def run_hosts():
+            _, p_edges = pages_link_pipeline(
+                spark, pdocs, pages_n, n_hosts=1024
+            )
+            return host_edges(p_edges).count()
+
+        extras["host_pairs"] = timed("host_rollup", run_hosts)
         pdocs.unpersist()
 
     # -- embedding-dedup end-to-end on planted near-dup clusters
