@@ -1254,6 +1254,31 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id", F.round("rank", 6).alias("pagerank"))
 
 
+def q_host_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality H(u) = Σ 1/d(v,u) on the 16-host graph —
+    the ranking Common Crawl publishes for its host webgraph
+    (Boldi/Vigna axioms; nx.harmonic_centrality semantics, no
+    normalization). Unweighted hop distances (weight pinned 1.0); the
+    oracle unrolls BFS min-distances in a recursive CTE and sums the
+    reciprocals — fully independent of the engine's Dijkstra."""
+    from k2_18_spark.graph.centrality import harmonic_centrality
+    from k2_18_spark.pipeline.hostgraph import host_edges
+    from k2_18_spark.pipeline.linkgraph import pages_link_pipeline
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    _, edges = pages_link_pipeline(spark, docs, n_hosts=_HOST_N)
+    hosts = host_edges(edges, include_intra=False)
+    out = harmonic_centrality(
+        spark,
+        hosts.select(
+            F.col("src_host").alias("src_id"),
+            F.col("dst_host").alias("dst_id"),
+            F.lit(1.0).alias("weight"),
+        ),
+    )
+    return out.select("id", F.round("harmonic_centrality", 6).alias("harmonic"))
+
+
 def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl summary (pages hosted, out/in link totals,
     intra-host share) over the 16-host synthesis — three partial
@@ -1447,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_linkgraph": q_host_linkgraph,
         "host_pagerank": q_host_pagerank,
         "host_stats": q_host_stats,
+        "host_harmonic": q_host_harmonic,
         "graph_anf": q_graph_anf,
         "graph_anf_totals": q_graph_anf_totals,
         "graph_hits": q_graph_hits,
@@ -2813,6 +2839,38 @@ def oracle_sql() -> dict[str, str]:
             FROM hosts h
             LEFT JOIN outs o USING (host)
             LEFT JOIN ins i USING (host)
+        """,
+        # BFS min-distance unroll (recursive CTE, dedup on
+        # (src,dst,depth) rows, depth-capped far past the 16-host
+        # diameter) → H(u) = Σ 1/dist over incoming pairs; unreachable
+        # pairs and self-distance contribute nothing, like the engine
+        "host_harmonic": f"""
+            WITH RECURSIVE he AS MATERIALIZED (
+                SELECT DISTINCT src_host AS s, dst_host AS t
+                FROM ({_HOST_EDGES_SQL}) WHERE src_host <> dst_host
+            ),
+            verts AS MATERIALIZED (
+                -- explicit DISTINCT: inside a WITH RECURSIVE list,
+                -- DuckDB 1.0 does NOT dedup a bare UNION in a
+                -- non-recursive CTE (measured: 192 rows / 16 distinct)
+                SELECT DISTINCT v FROM (
+                    SELECT s AS v FROM he UNION ALL SELECT t FROM he
+                )
+            ),
+            d(src, dst, dd) AS (
+                SELECT v, v, 0 FROM verts
+                UNION
+                SELECT d.src, he.t, d.dd + 1
+                FROM d JOIN he ON d.dst = he.s
+                WHERE d.dd < 20
+            ),
+            md AS (SELECT src, dst, MIN(dd) AS dist FROM d GROUP BY 1, 2)
+            SELECT v.v AS id,
+                   ROUND(COALESCE(SUM(CASE WHEN md.dist > 0 THEN
+                       CAST(1.0 AS DOUBLE) / md.dist END), 0.0), 6)
+                     AS harmonic
+            FROM verts v LEFT JOIN md ON md.dst = v.v
+            GROUP BY 1
         """,
         # inter-host edges with link-count weights → the same power
         # iteration the page-level oracle uses

@@ -132,6 +132,51 @@ def anf(
         )
 
 
+def harmonic_anf(
+    spark: SparkSession,
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    registers: int = 32,
+    max_rounds: int = 64,
+    fixed_rounds: int | None = None,
+    checkpoint_dir: str | None = None,
+    job_name: str = "harmonic_anf",
+    num_partitions: int | None = None,
+) -> AnfResult:
+    """HyperBall harmonic-centrality estimate (Boldi/Vigna, the method
+    behind Common Crawl's published host rankings): run the FM-sketch
+    loop over REVERSED edges (round t covers the in-ball {u: d(u,v)≤t})
+    and fold each round's per-vertex ball growth into
+    ``h += (N̂_t − N̂_{t−1}) / t`` — an extra double column on the same
+    one-shuffle-per-round superstep, nothing else changes. Unweighted
+    hop distances; accuracy follows the FM estimator (std err ≈
+    0.78/√registers). Exact twin below the CSR ceiling:
+    :func:`k2_18_spark.graph.centrality.harmonic_centrality`.
+
+    ``result.sketches`` gains a ``harmonic_estimate`` column.
+    """
+    from k2_18_spark.session import superstep_conf
+
+    if not 1 <= registers <= 64:
+        raise ValueError("registers must be in 1..64")
+    rev = edges.select(
+        F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+    )
+    with superstep_conf(spark):
+        return _anf_loop(
+            spark,
+            rev,
+            nodes,
+            registers,
+            max_rounds,
+            fixed_rounds,
+            checkpoint_dir,
+            job_name,
+            num_partitions,
+            harmonic=True,
+        )
+
+
 def _sketch_cols(registers: int) -> list[str]:
     return [f"s{r}" for r in range(registers)]
 
@@ -146,8 +191,10 @@ def _anf_loop(
     checkpoint_dir,
     job_name,
     num_partitions,
+    harmonic: bool = False,
 ) -> AnfResult:
     scols = _sketch_cols(registers)
+    hcols = ["h"] if harmonic else []
 
     verts = vertex_ids(edges, nodes).persist(StorageLevel.MEMORY_AND_DISK)
     n = verts.count()
@@ -173,7 +220,12 @@ def _anf_loop(
     e.count()
 
     store = (
-        CheckpointStore(spark, checkpoint_dir, job_name, state_version="anf-md5-60-v1")
+        CheckpointStore(
+            spark,
+            checkpoint_dir,
+            job_name,
+            state_version="anf-harmonic-md5-60-v1" if harmonic else "anf-md5-60-v1",
+        )
         if checkpoint_dir
         else None
     )
@@ -185,7 +237,7 @@ def _anf_loop(
         last = store.latest_iteration()
         if last is not None:
             state = store.load_state(last)
-            sketches = state.select("id", *scols)
+            sketches = state.select("id", *scols, *hcols)
             # markers carry each completed round's totals — rebuild the
             # trajectory so a resumed run returns the same AnfResult
             for it in range(last + 1):
@@ -208,7 +260,9 @@ def _anf_loop(
             start_round = last + 1
     if sketches is None:
         sketches = verts.select(
-            "id", *[fm_register(F.col("id"), r).alias(c) for r, c in enumerate(scols)]
+            "id",
+            *[fm_register(F.col("id"), r).alias(c) for r, c in enumerate(scols)],
+            *([F.lit(0.0).alias("h")] if harmonic else []),
         ).localCheckpoint(eager=True)
 
     bits_expr = _sum_bits_expr(scols)
@@ -223,7 +277,9 @@ def _anf_loop(
             .agg(*[F.bit_or(c).alias(f"n_{c}") for c in scols])
         )
         merged = sketches.select(
-            "id", *[F.col(c).alias(f"o_{c}") for c in scols]
+            "id",
+            *[F.col(c).alias(f"o_{c}") for c in scols],
+            *([F.col("h").alias("o_h")] if harmonic else []),
         ).join(nbr.hint("shuffle_hash"), "id", "left")
         new = merged.select(
             "id",
@@ -234,7 +290,25 @@ def _anf_loop(
                 for c in scols
             ],
             *[F.col(f"o_{c}") for c in scols],
+            *([F.col("o_h")] if harmonic else []),
         )
+        if harmonic:
+            # HyperBall accumulation: this round's in-ball growth over
+            # the FM estimates, weighted by 1/t (t = it+1) — computed
+            # from the merged vs old register columns in the same
+            # projection chain (Catalyst collapses the selects)
+            old_est = _estimate_expr([f"o_{c}" for c in scols])
+            new_est = _estimate_expr(scols)
+            new = new.select(
+                "id",
+                *scols,
+                *[F.col(f"o_{c}") for c in scols],
+                (
+                    F.col("o_h")
+                    + F.greatest(new_est - old_est, F.lit(0.0))
+                    / F.lit(float(it + 1))
+                ).alias("h"),
+            )
         prev = sketches
         if store is not None:
             new = store.save_state(it, new, rows_in=n)
@@ -263,7 +337,7 @@ def _anf_loop(
                 nf_total=float(row["nf_total"]),
                 converged=changed == 0,
             )
-        sketches = new.select("id", *scols)
+        sketches = new.select("id", *scols, *hcols)
         prev.unpersist()
         if changed == 0 and fixed_rounds is None:
             break
@@ -293,11 +367,17 @@ def _estimate_expr(scols: list[str]) -> Column:
 
 def _with_estimates(sketches: DataFrame, registers: int) -> DataFrame:
     scols = _sketch_cols(registers)
+    extra = (
+        [F.col("h").alias("harmonic_estimate")]
+        if "h" in sketches.columns
+        else []
+    )
     return sketches.select(
         "id",
         *scols,
         _sum_bits_expr(scols).alias("nf_bits"),
         _estimate_expr(scols).alias("nf_estimate"),
+        *extra,
     )
 
 

@@ -1096,3 +1096,92 @@ def _superstep_columnar(spark, e, vmap, sources, n, k, max_rounds, _mark):
         )
     )
     return out
+
+
+def _dijkstra_dists(indptr, indices, weights, s: int, n: int):
+    """Distances from source s over the numpy CSR — the σ/δ-free core
+    of :func:`_brandes_source` (same inf-edge relaxation semantics, so
+    harmonic matches nx.shortest_path_length with the same distance)."""
+    inf = float("inf")
+    dist = [inf] * n
+    reached = [False] * n
+    dist[s] = 0.0
+    reached[s] = True
+    done = [False] * n
+    heap = [(0.0, s)]
+    while heap:
+        d, v = heapq.heappop(heap)
+        if done[v]:
+            continue
+        done[v] = True
+        for j in range(indptr[v], indptr[v + 1]):
+            w = int(indices[j])
+            nd = d + float(weights[j])
+            if (not done[w]) and (not reached[w] or nd < dist[w]):
+                dist[w] = nd
+                reached[w] = True
+                heapq.heappush(heap, (nd, w))
+    return dist
+
+
+def harmonic_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    sample_k: int | None = None,
+    num_slices: int | None = None,
+    max_collect_edges: int = 10_000_000,
+) -> DataFrame:
+    """→ (id, harmonic_centrality): H(u) = Σ_{v≠u} 1/d(v, u).
+
+    nx.harmonic_centrality(G, distance="inverse_weight") semantics —
+    incoming distances, no normalization, unreachable pairs contribute
+    nothing (Boldi/Vigna "Axioms for centrality", the measure Common
+    Crawl publishes for its host-level webgraph). Same source-parallel
+    broadcast-CSR plan as :func:`betweenness_closeness`: each task runs
+    plain Dijkstra for its source batch and emits per-target 1/d
+    contributions; one groupBy-sum reduces. ``sample_k`` sources →
+    estimate rescaled by n/k. Above the CSR ceiling use
+    :func:`k2_18_spark.graph.anf.harmonic_anf` (HyperBall).
+    """
+    verts, indptr, indices, weights = _collect_csr(edges, nodes, max_collect_edges)
+    n = len(verts)
+    if n == 0:
+        return spark.createDataFrame([], "id string, harmonic_centrality double")
+
+    if sample_k is not None and sample_k < n:
+        stride = max(1, n // sample_k)
+        sources = list(range(0, n, stride))[:sample_k]
+    else:
+        sources = list(range(n))
+    k = len(sources)
+    scale = float(n) / k
+
+    bc_csr = spark.sparkContext.broadcast((indptr, indices, weights))
+
+    def run_sources(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        l_indptr, l_indices, l_weights = bc_csr.value
+        for pdf in batches:
+            out_idx: list[int] = []
+            out_h: list[float] = []
+            for s in pdf["s"]:
+                dist = _dijkstra_dists(l_indptr, l_indices, l_weights, int(s), n)
+                for i, d in enumerate(dist):
+                    if 0.0 < d < float("inf"):
+                        out_idx.append(i)
+                        out_h.append(1.0 / d)
+            yield pd.DataFrame({"idx": out_idx, "h": out_h})
+
+    slices = num_slices or min(k, spark.sparkContext.defaultParallelism * 4)
+    src_df = spark.createDataFrame([(s,) for s in sources], "s int").repartition(
+        slices
+    )
+    partials = src_df.mapInPandas(run_sources, "idx int, h double")
+    agg = partials.groupBy("idx").agg(F.sum("h").alias("h"))
+    vert_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(verts)], "idx int, id string"
+    )
+    return vert_df.join(agg, "idx", "left").select(
+        "id",
+        (F.coalesce("h", F.lit(0.0)) * F.lit(scale)).alias("harmonic_centrality"),
+    )
