@@ -1317,6 +1317,22 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality (Bonacich; power iteration on A^T + I,
+    L2-normalized — nx.eigenvector_centrality semantics), 20 fixed
+    rounds on the co-supplier graph so the DuckDB recursive-CTE twin
+    unrolls the exact same rounds (identity shift, window-function L2
+    norm, identical op order)."""
+    from k2_18_spark.graph.eigenvector import eigenvector_centrality
+
+    res = eigenvector_centrality(
+        spark, _graph_edges(spark, sf_dir), fixed_iter=20
+    )
+    return res.select(
+        "id", F.round("eigenvector_centrality", 6).alias("eigenvector")
+    )
+
+
 def q_graph_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANF sketches at saturation (= exact transitive-closure bitmaps)
     on the doc-chain graph (diameter 4): every Flajolet-Martin
@@ -1476,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_anf": q_graph_anf,
         "graph_anf_totals": q_graph_anf_totals,
         "graph_hits": q_graph_hits,
+        "graph_eigenvector": q_graph_eigenvector,
         "graph_kcore": q_graph_kcore,
         "graph_ktruss": q_graph_ktruss,
         "graph_global_stats": q_graph_global_stats,
@@ -1972,6 +1989,43 @@ CROSS JOIN (
     SELECT SUM(h) AS hsum, SUM(a) AS asum FROM st WHERE iter = {k}
 ) f
 WHERE st.iter = {k}
+"""
+
+
+# eigenvector centrality: power iteration on (A^T + I), L2-normalized
+# per round via a window aggregate — unrolls the engine's fixed_iter
+# mode exactly (same identity shift, same division order)
+_EIGEN_ORACLE = """
+WITH RECURSIVE
+e0 AS MATERIALIZED ({edges_sql}),
+e AS MATERIALIZED (
+    SELECT src_id, dst_id, SUM(weight) AS w FROM e0 GROUP BY 1, 2
+),
+verts AS MATERIALIZED (
+    SELECT DISTINCT id FROM (
+        SELECT src_id AS id FROM e UNION ALL SELECT dst_id FROM e
+    )
+),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts),
+st(iter, id, x) AS (
+    SELECT 0, v.id, CAST(1.0 AS DOUBLE) / nn.n
+    FROM verts v CROSS JOIN nn
+    UNION ALL
+    SELECT s.iter, s.id,
+           s.x_raw / SQRT(SUM(s.x_raw * s.x_raw) OVER ())
+    FROM (
+        SELECT p.iter + 1 AS iter, p.id,
+               p.x + COALESCE(c.c, CAST(0.0 AS DOUBLE)) AS x_raw
+        FROM st p
+        LEFT JOIN (
+            SELECT p2.iter, e.dst_id AS id, SUM(p2.x * e.w) AS c
+            FROM st p2 JOIN e ON p2.id = e.src_id
+            GROUP BY 1, 2
+        ) c ON c.id = p.id AND c.iter = p.iter
+        WHERE p.iter < {k}
+    ) s
+)
+SELECT id, ROUND(x, 6) AS eigenvector FROM st WHERE iter = {k}
 """
 
 
@@ -2890,6 +2944,9 @@ def oracle_sql() -> dict[str, str]:
             + f", CAST({_anf_bits_sql()} AS BIGINT) AS nf_bits FROM s4",
         ),
         "graph_hits": _HITS_ORACLE.format(edges_sql=_CO_SUPPLIER_SQL, k=20),
+        "graph_eigenvector": _EIGEN_ORACLE.format(
+            edges_sql=_CO_SUPPLIER_SQL, k=20
+        ),
         "graph_kcore": _kcore_oracle_sql(_KCORE_EDGES_SQL, k=3),
         "graph_ktruss": _ktruss_oracle_sql(_KCORE_EDGES_SQL, k=4),
         # reciprocity on the directed co-supplier graph (self-loops in
