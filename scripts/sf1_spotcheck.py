@@ -654,6 +654,71 @@ def main():
            f"{len(want_kt)} truss edges, {bad} mismatches",
            engine_wall=te, oracle_wall=wall - te)
 
+    # -- host-graph rollup over the SAME 1M-url corpus ------------------------
+    # Re-synthesize across 16 hosts, mine with the any-host regexp and
+    # roll up to host pairs; replay the sf0.01 driver oracle
+    # (host_linkgraph: arithmetic link rules grouped by host) against
+    # the documents view the pages leg already registered.
+    t0 = time.monotonic()
+    shl = (
+        queries()["host_linkgraph"](spark, pages_dir)
+        .toPandas()
+        .sort_values(["src_host", "dst_host"])
+        .reset_index(drop=True)
+    )
+    te = time.monotonic() - t0
+    ohl = (
+        con.sql(oracle_sql()["host_linkgraph"])
+        .df()
+        .sort_values(["src_host", "dst_host"])
+        .reset_index(drop=True)
+    )
+    bad = 0 if len(shl) == len(ohl) else 1
+    if bad == 0:
+        for c in ("src_host", "dst_host", "n_links", "weight"):
+            bad += int(
+                (shl[c].to_numpy() != ohl[c].astype(shl[c].dtype).to_numpy()).sum()
+            )
+    wall = time.monotonic() - t0
+    record("host_rollup", bad == 0, wall,
+           f"{n_pages} urls -> {len(shl)} host pairs, "
+           f"{int(shl['n_links'].sum())} links, {bad} mismatches",
+           engine_wall=te, oracle_wall=wall - te)
+
+    # -- eigenvector centrality, exactly 5 rounds, at 15M edges --------------
+    # Engine (A^T + I) power iteration vs a numpy scatter replica on
+    # the weight-summed collapsed pair list (the engine's groupBy-sum
+    # adjacency semantics), compared at 1e-6 after L2 normalization.
+    t0 = time.monotonic()
+    from k2_18_spark.graph.eigenvector import eigenvector_centrality
+
+    sev = (
+        eigenvector_centrality(spark, edges, nodes, fixed_iter=5)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    te = time.monotonic() - t0
+    evw = con.sql(
+        "SELECT src_id, dst_id, SUM(weight) w FROM e GROUP BY 1, 2"
+    ).df()
+    es = evw["src_id"].str.slice(1).to_numpy(dtype=np.int64)
+    ed = evw["dst_id"].str.slice(1).to_numpy(dtype=np.int64)
+    ew = evw["w"].to_numpy(dtype=np.float64)
+    x = np.full(NUM_V, 1.0 / NUM_V)
+    for _ in range(5):
+        xr = x.copy()
+        np.add.at(xr, ed, x[es] * ew)
+        x = xr / np.sqrt((xr * xr).sum())
+    got_ids = sev["id"].str.slice(1).to_numpy(dtype=np.int64)
+    bad = int(
+        (np.abs(sev["eigenvector_centrality"].to_numpy() - x[got_ids]) > 1e-6).sum()
+    )
+    wall = time.monotonic() - t0
+    record("eigenvector_iter5", bad == 0 and len(sev) == NUM_V, wall,
+           f"{NUM_V} vertices, {bad} mismatches",
+           engine_wall=te, oracle_wall=wall - te)
+
     with open(OUT, "w", encoding="utf-8") as f:
         json.dump({"num_vertices": NUM_V, "num_edges": m, "checks": results},
                   f, indent=2)
