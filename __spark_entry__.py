@@ -1317,6 +1317,36 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity per community (nx.community.modularity
+    semantics, directed form Q_c = L_c/m − Σout_c·Σin_c/m²) on the
+    co-supplier graph under the deterministic suppkey%8 clustering —
+    the community-quality rollup behind Louvain/LPA evaluation. The
+    oracle replicates the cluster-pair aggregation independently."""
+    from k2_18_spark.graph.stats import modularity_by_community
+
+    edges = _graph_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src_id").alias("id"))
+        .union(edges.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
+    clusters = verts.select(
+        "id",
+        F.pmod(F.expr("CAST(substring(id, 2) AS BIGINT)"), F.lit(8))
+        .cast("int")
+        .alias("cluster_id"),
+    )
+    out = modularity_by_community(spark, edges, clusters)
+    return out.select(
+        "cluster_id",
+        F.round("internal_w", 6).alias("internal_w"),
+        F.round("out_w", 6).alias("out_w"),
+        F.round("in_w", 6).alias("in_w"),
+        F.round("contribution", 6).alias("contribution"),
+    )
+
+
 def q_graph_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eigenvector centrality (Bonacich; power iteration on A^T + I,
     L2-normalized — nx.eigenvector_centrality semantics), 20 fixed
@@ -1493,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_anf_totals": q_graph_anf_totals,
         "graph_hits": q_graph_hits,
         "graph_eigenvector": q_graph_eigenvector,
+        "graph_modularity": q_graph_modularity,
         "graph_kcore": q_graph_kcore,
         "graph_ktruss": q_graph_ktruss,
         "graph_global_stats": q_graph_global_stats,
@@ -2947,6 +2978,48 @@ def oracle_sql() -> dict[str, str]:
         "graph_eigenvector": _EIGEN_ORACLE.format(
             edges_sql=_CO_SUPPLIER_SQL, k=20
         ),
+        # per-community modularity: independent cluster-pair rollup of
+        # the weight-collapsed co-supplier edges under suppkey%8
+        "graph_modularity": f"""
+            WITH e0 AS MATERIALIZED ({_CO_SUPPLIER_SQL}),
+            e AS MATERIALIZED (
+                SELECT src_id, dst_id, SUM(weight) AS w FROM e0 GROUP BY 1, 2
+            ),
+            verts AS (
+                SELECT DISTINCT id FROM (
+                    SELECT src_id AS id FROM e UNION ALL SELECT dst_id FROM e
+                )
+            ),
+            cm AS (
+                SELECT id, CAST(substring(id, 2) AS BIGINT) % 8 AS cluster_id
+                FROM verts
+            ),
+            tag AS MATERIALIZED (
+                SELECT c1.cluster_id AS cs, c2.cluster_id AS cd, e.w
+                FROM e
+                JOIN cm c1 ON e.src_id = c1.id
+                JOIN cm c2 ON e.dst_id = c2.id
+            ),
+            mm AS (SELECT SUM(w) AS m FROM tag),
+            outs AS (SELECT cs AS cluster_id, SUM(w) AS out_w
+                     FROM tag GROUP BY 1),
+            ins AS (SELECT cd AS cluster_id, SUM(w) AS in_w
+                    FROM tag GROUP BY 1),
+            intra AS (SELECT cs AS cluster_id, SUM(w) AS internal_w
+                      FROM tag WHERE cs = cd GROUP BY 1)
+            SELECT CAST(c.cluster_id AS INT) AS cluster_id,
+                   ROUND(COALESCE(i2.internal_w, 0.0), 6) AS internal_w,
+                   ROUND(COALESCE(o.out_w, 0.0), 6) AS out_w,
+                   ROUND(COALESCE(i.in_w, 0.0), 6) AS in_w,
+                   ROUND(COALESCE(i2.internal_w, CAST(0.0 AS DOUBLE)) / mm.m
+                         - COALESCE(o.out_w, 0.0) * COALESCE(i.in_w, 0.0)
+                           / (mm.m * mm.m), 6) AS contribution
+            FROM (SELECT DISTINCT cluster_id FROM cm) c
+            LEFT JOIN outs o USING (cluster_id)
+            LEFT JOIN ins i USING (cluster_id)
+            LEFT JOIN intra i2 USING (cluster_id)
+            CROSS JOIN mm
+        """,
         "graph_kcore": _kcore_oracle_sql(_KCORE_EDGES_SQL, k=3),
         "graph_ktruss": _ktruss_oracle_sql(_KCORE_EDGES_SQL, k=4),
         # reciprocity on the directed co-supplier graph (self-loops in

@@ -91,3 +91,138 @@ def degree_assortativity(spark: SparkSession, edges: DataFrame) -> float:
     if vx == 0 or vy == 0:
         raise ValueError("assortativity is undefined on a degree-regular graph")
     return cov / (vx * vy) ** 0.5
+
+
+def modularity_by_community(
+    spark: SparkSession,
+    edges: DataFrame,
+    clusters: DataFrame,
+    resolution: float = 1.0,
+    directed: bool = True,
+) -> DataFrame:
+    """Per-community modularity contributions → (cluster_id,
+    internal_w, out_w, in_w, contribution).
+
+    nx.algorithms.community.modularity semantics (Newman; nx's
+    published formula, reimplemented): directed
+    ``Q_c = L_c/m − γ·Σout_c·Σin_c/m²``; undirected
+    ``Q_c = L_c/m − γ·(D_c/(2m))²`` where the input edge table lists
+    each undirected edge ONCE and degrees count self-loops twice.
+    Parallel (src,dst) rows sum their weights (MultiDiGraph
+    adjacency). ``clusters`` is (id, cluster_id); vertices missing
+    from it are dropped with their edges, like passing nx a partial
+    partition is an error — pass a total clustering.
+
+    Plan: weight-collapse groupBy, two shuffle-hash joins tagging the
+    endpoints with their communities, then ONE groupBy(cluster pair) →
+    per-community rollup — every aggregate map-side partial, shuffle
+    O(distinct cluster pairs), not O(|E|).
+    """
+    w = F.col("weight") if "weight" in edges.columns else F.lit(1.0)
+    e = (
+        edges.select(
+            F.col("src_id").alias("src"),
+            F.col("dst_id").alias("dst"),
+            w.cast("double").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    cm = clusters.select(F.col("id"), F.col("cluster_id"))
+    tagged = (
+        e.join(
+            cm.select(F.col("id").alias("src"), F.col("cluster_id").alias("c_src")),
+            "src",
+        )
+        .join(
+            cm.select(F.col("id").alias("dst"), F.col("cluster_id").alias("c_dst")),
+            "dst",
+        )
+        .groupBy("c_src", "c_dst")
+        .agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    if directed:
+        m = tagged.agg(F.sum("w")).collect()[0][0] or 0.0
+        if m == 0:
+            raise ValueError("modularity is undefined for an empty graph")
+        out_c = tagged.groupBy(F.col("c_src").alias("cluster_id")).agg(
+            F.sum("w").alias("out_w")
+        )
+        in_c = tagged.groupBy(F.col("c_dst").alias("cluster_id")).agg(
+            F.sum("w").alias("in_w")
+        )
+        intra = (
+            tagged.filter(F.col("c_src") == F.col("c_dst"))
+            .select(F.col("c_src").alias("cluster_id"), F.col("w"))
+            .groupBy("cluster_id")
+            .agg(F.sum("w").alias("internal_w"))
+        )
+        out = (
+            out_c.join(in_c, "cluster_id", "outer")
+            .join(intra, "cluster_id", "left")
+            .select(
+                "cluster_id",
+                F.coalesce("internal_w", F.lit(0.0)).alias("internal_w"),
+                F.coalesce("out_w", F.lit(0.0)).alias("out_w"),
+                F.coalesce("in_w", F.lit(0.0)).alias("in_w"),
+            )
+            .withColumn(
+                "contribution",
+                F.col("internal_w") / F.lit(m)
+                - F.lit(resolution)
+                * F.col("out_w")
+                * F.col("in_w")
+                / F.lit(m * m),
+            )
+        )
+        tagged.unpersist()
+        return out
+    # undirected: degree counts BOTH endpoints (self-loop → 2w)
+    deg_rows = tagged.select(F.col("c_src").alias("cluster_id"), "w").unionAll(
+        tagged.select(F.col("c_dst").alias("cluster_id"), "w")
+    )
+    deg_c = deg_rows.groupBy("cluster_id").agg(F.sum("w").alias("deg_w"))
+    deg_sum = tagged.agg(F.sum(F.col("w") * F.lit(2.0))).collect()[0][0] or 0.0
+    if deg_sum == 0:
+        raise ValueError("modularity is undefined for an empty graph")
+    m = deg_sum / 2.0
+    intra = (
+        tagged.filter(F.col("c_src") == F.col("c_dst"))
+        .select(F.col("c_src").alias("cluster_id"), F.col("w"))
+        .groupBy("cluster_id")
+        .agg(F.sum("w").alias("internal_w"))
+    )
+    out = (
+        deg_c.join(intra, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.coalesce("internal_w", F.lit(0.0)).alias("internal_w"),
+            F.col("deg_w").alias("out_w"),
+            F.col("deg_w").alias("in_w"),
+        )
+        .withColumn(
+            "contribution",
+            F.col("internal_w") / F.lit(m)
+            - F.lit(resolution)
+            * (F.col("out_w") / F.lit(deg_sum))
+            * (F.col("in_w") / F.lit(deg_sum)),
+        )
+    )
+    tagged.unpersist()
+    return out
+
+
+def modularity(
+    spark: SparkSession,
+    edges: DataFrame,
+    clusters: DataFrame,
+    resolution: float = 1.0,
+    directed: bool = True,
+) -> float:
+    """Newman modularity Q of a clustering (nx.community.modularity
+    semantics) — the sum of :func:`modularity_by_community` rows."""
+    contrib = modularity_by_community(
+        spark, edges, clusters, resolution=resolution, directed=directed
+    )
+    return float(contrib.agg(F.sum("contribution")).collect()[0][0])

@@ -62,3 +62,118 @@ def test_undefined_cases(spark):
         degree_assortativity(spark, _edges_df(spark, [(0, 1), (2, 3)]))  # regular
     with pytest.raises(ValueError):
         reciprocity(spark, _edges_df(spark, []).limit(0))
+
+
+# --- modularity (nx.algorithms.community.modularity parity) ---------------
+
+from k2_18_spark.graph.stats import modularity, modularity_by_community  # noqa: E402
+
+
+def _weighted_df(spark, rows):
+    return spark.createDataFrame(
+        [(f"V{a}", f"V{b}", "LINK", w) for a, b, w in rows],
+        "src_id string, dst_id string, edge_type string, weight double",
+    )
+
+
+def _clusters_df(spark, nodes, k=4):
+    return spark.createDataFrame(
+        [(f"V{n}", n % k) for n in nodes], "id string, cluster_id int"
+    )
+
+
+def _seeded_weighted(n=30, m=120, seed=31):
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(n), rng.randrange(n), round(rng.random() * 3 + 0.5, 3))
+        for _ in range(m)
+    ]
+
+
+def _nx_directed(rows):
+    g = nx.DiGraph()
+    for a, b, w in rows:  # parallel rows sum (MultiDiGraph adjacency)
+        g.add_edge(a, b, weight=(g.edges[a, b]["weight"] + w) if g.has_edge(a, b) else w)
+    return g
+
+
+def _partition(nodes, k=4):
+    part = {}
+    for n in nodes:
+        part.setdefault(n % k, set()).add(n)
+    return list(part.values())
+
+
+@pytest.mark.parametrize("resolution", [1.0, 1.7])
+def test_modularity_directed_parity(spark, resolution):
+    rows = _seeded_weighted()
+    g = _nx_directed(rows)
+    got = modularity(
+        spark,
+        _weighted_df(spark, rows),
+        _clusters_df(spark, g.nodes),
+        resolution=resolution,
+    )
+    want = nx.community.modularity(
+        g, _partition(g.nodes), weight="weight", resolution=resolution
+    )
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_modularity_undirected_parity(spark):
+    # each undirected edge listed once (a<=b), incl. a self-loop
+    rng = random.Random(53)
+    seen = {}
+    for _ in range(100):
+        a, b = sorted((rng.randrange(25), rng.randrange(25)))
+        seen[(a, b)] = round(rng.random() * 2 + 0.25, 3)
+    seen[(7, 7)] = 1.5
+    rows = [(a, b, w) for (a, b), w in seen.items()]
+    g = nx.Graph()
+    g.add_weighted_edges_from(rows)
+    got = modularity(
+        spark,
+        _weighted_df(spark, rows),
+        _clusters_df(spark, g.nodes),
+        directed=False,
+    )
+    want = nx.community.modularity(g, _partition(g.nodes), weight="weight")
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_modularity_contributions_sum_and_schema(spark):
+    rows = _seeded_weighted(seed=97)
+    g = _nx_directed(rows)
+    per = modularity_by_community(
+        spark, _weighted_df(spark, rows), _clusters_df(spark, g.nodes)
+    )
+    pdf = per.toPandas().set_index("cluster_id")
+    assert set(pdf.columns) == {"internal_w", "out_w", "in_w", "contribution"}
+    # every community of the total clustering appears, incl. any with no edges
+    assert set(pdf.index) == {n % 4 for n in g.nodes}
+    total = nx.community.modularity(g, _partition(g.nodes), weight="weight")
+    assert pdf["contribution"].sum() == pytest.approx(total, abs=1e-9)
+    # mass checks: Σinternal ≤ Σout = Σin = m
+    m = sum(d["weight"] for _, _, d in g.edges(data=True))
+    assert pdf["out_w"].sum() == pytest.approx(m, abs=1e-9)
+    assert pdf["in_w"].sum() == pytest.approx(m, abs=1e-9)
+    assert pdf["internal_w"].sum() <= m + 1e-9
+
+
+def test_modularity_single_community_is_zero(spark):
+    rows = _seeded_weighted(n=10, m=40, seed=11)
+    g = _nx_directed(rows)
+    clusters = spark.createDataFrame(
+        [(f"V{n}", 0) for n in g.nodes], "id string, cluster_id int"
+    )
+    got = modularity(spark, _weighted_df(spark, rows), clusters)
+    assert got == pytest.approx(0.0, abs=1e-12)
+
+
+def test_modularity_empty_graph_raises(spark):
+    empty = _weighted_df(spark, []).limit(0)
+    cl = spark.createDataFrame([("V0", 0)], "id string, cluster_id int")
+    with pytest.raises(ValueError):
+        modularity(spark, empty, cl)
+    with pytest.raises(ValueError):
+        modularity(spark, empty, cl, directed=False)
