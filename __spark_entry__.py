@@ -1205,6 +1205,36 @@ def q_pages_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id", F.round("rank", 6).alias("pagerank"))
 
 
+def q_pages_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text rollup (the Common-Crawl anchor artifact):
+    pages synthesized with varied per-(src,dst) anchor tokens, text
+    extracted with the pandas-UDF chain, (src, dst, anchor) triples
+    mined JVM-side (two regexp groups zipped), then the two-phase
+    top-3 rollup — map-side-combinable groupBy(dst, anchor) count
+    feeding both the top-k window and the per-target totals. The
+    oracle regenerates the anchors arithmetically from the link rules;
+    it never sees HTML or the extractor."""
+    from k2_18_spark.pipeline.linkgraph import (
+        anchor_topk,
+        extract_text,
+        mine_anchors,
+        synth_pages,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    n_docs = docs.count()
+    pages = extract_text(synth_pages(docs, n_docs, varied_anchors=True))
+    out = anchor_topk(mine_anchors(pages), k=3)
+    return out.select(
+        "url",
+        "anchor",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("rnk").cast("int").alias("rnk"),
+        F.col("n_anchors").cast("long").alias("n_anchors"),
+        F.col("n_texts").cast("long").alias("n_texts"),
+    )
+
+
 _HOST_N = 16  # hosts in the oracle-checked host-graph queries
 
 
@@ -1515,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_dangling": q_drop_dangling,
         "pages_linkgraph": q_pages_linkgraph,
         "pages_pagerank": q_pages_pagerank,
+        "pages_anchors": q_pages_anchors,
         "host_linkgraph": q_host_linkgraph,
         "host_pagerank": q_host_pagerank,
         "host_stats": q_host_stats,
@@ -2882,6 +2913,41 @@ def oracle_sql() -> dict[str, str]:
         "pages_pagerank": _PAGERANK_ORACLE.format(
             edges_sql="SELECT DISTINCT * FROM (" + _PAGES_EDGES_SQL + ")"
         ),
+        # anchor rollup: regenerate (src, dst, anchor) arithmetically —
+        # anchor = 't' || ((src + dst) % 5) per linkgraph._anchor — then
+        # the same groupBy + top-3 window + totals, never parsing HTML
+        "pages_anchors": """
+            WITH an AS MATERIALIZED (
+                SELECT d.doc_id AS src_num,
+                       (d.doc_id * r.m + r.o)
+                         % (SELECT COUNT(*) FROM documents) AS dst_num
+                FROM documents d
+                JOIN (VALUES (7, 1, 0), (13, 3, 0), (3, 5, 1)) r(m, o, eo)
+                  ON r.eo = 0 OR d.doc_id % 2 = 0
+                WHERE d.text IS NOT NULL
+            ),
+            cnts AS (
+                SELECT 'https://example.org/page/' || dst_num AS url,
+                       't' || ((src_num + dst_num) % 5) AS anchor,
+                       COUNT(*) AS cnt
+                FROM an GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT url, SUM(cnt) AS n_anchors, COUNT(*) AS n_texts
+                FROM cnts GROUP BY 1
+            ),
+            rnked AS (
+                SELECT url, anchor, cnt,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY url ORDER BY cnt DESC, anchor ASC
+                       ) AS rnk
+                FROM cnts
+            )
+            SELECT r.url, r.anchor, r.cnt, CAST(r.rnk AS INT) AS rnk,
+                   t.n_anchors, t.n_texts
+            FROM rnked r JOIN tot t ON r.url = t.url
+            WHERE r.rnk <= 3
+        """,
         # host rollup incl. intra-host rows; n_links counts page-level
         # link rows, weight sums their uniform 1.0 weights
         "host_linkgraph": f"""

@@ -59,7 +59,20 @@ def _page_url(doc_id_col, n_hosts: int = 1):
     )
 
 
-def synth_pages(docs: DataFrame, n_docs: int, n_hosts: int = 1) -> DataFrame:
+def _anchor(did, dst, varied: bool):
+    """Anchor text for a link src ``did`` → ``dst``: the constant ``r``
+    by default (keeps the original synthesis byte-identical), or a
+    deterministic ``t{(src+dst)%5}`` token with ``varied=True`` so each
+    target accumulates a skewed multiset of anchor texts — the shape
+    the anchor-rollup artifact needs."""
+    if not varied:
+        return F.lit("r")
+    return F.concat(F.lit("t"), F.pmod(did + dst, F.lit(5)).cast("string"))
+
+
+def synth_pages(
+    docs: DataFrame, n_docs: int, n_hosts: int = 1, varied_anchors: bool = False
+) -> DataFrame:
     """(doc_id, text, lang) → (url, warc_ts, html binary, text, lang).
 
     ``text`` is left NULL — it is the EXTRACTED text column and is
@@ -67,7 +80,10 @@ def synth_pages(docs: DataFrame, n_docs: int, n_hosts: int = 1) -> DataFrame:
     raw WARC payload lands first. ``n_docs`` is the corpus size used
     by the modular link rules (one scalar, computed once upstream).
     ``n_hosts`` spreads pages across that many deterministic hosts
-    (hrefs always carry the dst page's own host).
+    (hrefs always carry the dst page's own host). ``varied_anchors``
+    swaps the constant anchor text for per-(src,dst) tokens (see
+    :func:`_anchor`); the default stays byte-identical to the original
+    synthesis so the pages_* extraction checksums are unchanged.
     """
     did = F.col("doc_id")
     parts = [
@@ -92,7 +108,9 @@ def synth_pages(docs: DataFrame, n_docs: int, n_hosts: int = 1) -> DataFrame:
         parts += [
             F.lit('<a href="'),
             _page_url(dst, n_hosts),
-            F.lit('">r</a>\n'),
+            F.lit('">'),
+            _anchor(did, dst, varied_anchors),
+            F.lit("</a>\n"),
         ]
     em, eo = LINK_RULE_EVEN
     dst_even = F.pmod(did * em + eo, F.lit(n_docs))
@@ -102,7 +120,9 @@ def synth_pages(docs: DataFrame, n_docs: int, n_hosts: int = 1) -> DataFrame:
             F.concat(
                 F.lit('<a href="'),
                 _page_url(dst_even, n_hosts),
-                F.lit('">r</a>\n'),
+                F.lit('">'),
+                _anchor(did, dst_even, varied_anchors),
+                F.lit("</a>\n"),
             ),
         ).otherwise(F.lit(""))
     )
@@ -178,3 +198,81 @@ def pages_link_pipeline(
     pages = extract_text(synth_pages(docs, n_docs, n_hosts=n_hosts))
     prefix = PAGE_URL_PREFIX if n_hosts <= 1 else None
     return pages, mine_links(pages, url_prefix=prefix)
+
+
+def mine_anchors(
+    pages: DataFrame, url_prefix: str | None = PAGE_URL_PREFIX
+) -> DataFrame:
+    """Extracted text → (src_id, dst_id, anchor) — one row per hyperlink
+    WITH its anchor text (the Common-Crawl anchor-artifact input).
+
+    Entirely JVM-side: two ``regexp_extract_all`` passes over the same
+    ``<a href="URL">TEXT</a>`` pattern (group 1 = url, group 2 = text)
+    zipped positionally with ``arrays_zip`` — no Python, no shuffle;
+    a pure map stage that scales with the page table like
+    :func:`mine_links`.
+    """
+    if url_prefix is None:
+        pat = 'href="(https?://[^"]+)">([^<]*)</a>'
+        url_expr = F.col("z.u")
+    else:
+        escaped = url_prefix.replace("\\", "\\\\").replace(".", "\\.")
+        pat = 'href="' + escaped + '(\\d+)">([^<]*)</a>'
+        url_expr = F.concat(F.lit(url_prefix), F.col("z.u"))
+    lit = F.lit(pat)
+    return (
+        pages.select(
+            F.col("url").alias("src_id"),
+            F.explode(
+                F.arrays_zip(
+                    F.regexp_extract_all("text", lit, F.lit(1)).alias("u"),
+                    F.regexp_extract_all("text", lit, F.lit(2)).alias("a"),
+                )
+            ).alias("z"),
+        )
+        .select(
+            "src_id",
+            url_expr.alias("dst_id"),
+            F.col("z.a").alias("anchor"),
+        )
+    )
+
+
+def anchor_topk(anchors: DataFrame, k: int = 3) -> DataFrame:
+    """Per-target anchor-text rollup → one row per (dst_id, anchor) in
+    the target's top-``k``: (url, anchor, cnt, rnk, n_anchors, n_texts).
+
+    Two-phase plan for skewed targets: ONE map-side-combinable
+    ``groupBy(dst_id, anchor)`` count collapses the edge-sized input to
+    the distinct (target, text) pairs, and BOTH the top-k window and
+    the per-target totals are computed from that collapsed table — the
+    |E|-sized table is shuffled once, on a two-column key that spreads
+    a hub target's rows across its distinct anchor texts.
+    """
+    from pyspark.sql import Window
+
+    counts = anchors.groupBy("dst_id", "anchor").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.groupBy("dst_id").agg(
+        F.sum("cnt").alias("n_anchors"),
+        F.count(F.lit(1)).alias("n_texts"),
+    )
+    w = Window.partitionBy("dst_id").orderBy(
+        F.desc("cnt"), F.asc("anchor")
+    )
+    top = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+    return (
+        top.join(totals, "dst_id")
+        .select(
+            F.col("dst_id").alias("url"),
+            "anchor",
+            "cnt",
+            "rnk",
+            "n_anchors",
+            "n_texts",
+        )
+    )

@@ -137,3 +137,85 @@ def test_run_linkgraph_script(tmp_path):
     assert (out / "components").exists() and (out / "lpa").exists()
     # lineage written for the checkpointed superstep loops
     assert any(ck.rglob("*.parquet"))
+
+
+# --- anchor-text mining + per-target rollup (mine_anchors/anchor_topk) ----
+
+from k2_18_spark.pipeline.linkgraph import (  # noqa: E402
+    anchor_topk,
+    extract_text,
+    mine_anchors,
+)
+
+
+def _expected_anchors(n: int, docs_rows):
+    """(src, dst, anchor) triples from the link rules + _anchor form."""
+    out = []
+    for i, has_text in docs_rows:
+        if not has_text:
+            continue
+        for dst in _expected_links(i, n):
+            out.append((i, dst, f"t{(i + dst) % 5}"))
+    return out
+
+
+def test_mined_anchors_match_rules(spark, docs):
+    pages = extract_text(synth_pages(docs, 30, varied_anchors=True))
+    got = sorted(
+        (r["src_id"], r["dst_id"], r["anchor"])
+        for r in mine_anchors(pages).collect()
+    )
+    want = sorted(
+        (PAGE_URL_PREFIX + str(s), PAGE_URL_PREFIX + str(d), a)
+        for s, d, a in _expected_anchors(30, [(i, i != 7) for i in range(30)])
+    )
+    assert got == want
+
+
+def test_default_anchor_is_constant_r(spark, docs):
+    # varied_anchors=False must keep the original constant anchor text
+    # (byte-identity of the default synthesis, which the pages_* oracle
+    # checksums depend on)
+    pages = extract_text(synth_pages(docs, 30))
+    anchors = {r["anchor"] for r in mine_anchors(pages).collect()}
+    assert anchors == {"r"}
+
+
+def test_anchor_topk_hand_case(spark):
+    rows = [
+        ("s1", "d1", "alpha"), ("s2", "d1", "alpha"), ("s3", "d1", "alpha"),
+        ("s4", "d1", "beta"), ("s5", "d1", "beta"),
+        ("s6", "d1", "gamma"), ("s7", "d1", "delta"),
+        ("s1", "d2", "solo"),
+    ]
+    an = spark.createDataFrame(rows, "src_id string, dst_id string, anchor string")
+    got = {
+        (r["url"], r["rnk"]): (r["anchor"], r["cnt"], r["n_anchors"], r["n_texts"])
+        for r in anchor_topk(an, k=3).collect()
+    }
+    # top-3 for d1: alpha(3), beta(2), then count-1 tie broken by text asc
+    assert got[("d1", 1)] == ("alpha", 3, 7, 4)
+    assert got[("d1", 2)] == ("beta", 2, 7, 4)
+    assert got[("d1", 3)] == ("delta", 1, 7, 4)
+    assert got[("d2", 1)] == ("solo", 1, 1, 1)
+    assert len(got) == 4
+
+
+def test_anchor_rollup_totals_conserve_mass(spark, docs):
+    pages = extract_text(synth_pages(docs, 30, varied_anchors=True))
+    an = mine_anchors(pages)
+    n_links = an.count()
+    top = anchor_topk(an, k=100)  # k past every group size → full rollup
+    agg = top.groupBy("url").agg(
+        F.sum("cnt").alias("s"), F.first("n_anchors").alias("n")
+    )
+    assert agg.filter(F.col("s") != F.col("n")).count() == 0
+    assert top.agg(F.sum("cnt")).collect()[0][0] == n_links
+
+
+def test_anchor_mining_is_jvm_only(spark, docs):
+    pages = extract_text(synth_pages(docs, 30, varied_anchors=True))
+    plan = mine_anchors(pages)._jdf.queryExecution().executedPlan().toString()
+    # the extractor UDF is the only Python stage; mining adds none
+    assert plan.count("ArrowEvalPython") <= 1
+    assert "BatchEvalPython" not in plan
