@@ -294,6 +294,31 @@ def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(spark, _graph_edges(spark, sf_dir), vote_round=9)
 
 
+def q_graph_louvain_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Louvain, level-0 move phase (graph/louvain_dist.py)
+    with deterministic fixed parameters: 6 semi-synchronous gain
+    rounds (parity-alternated, score_round=9 so gains land on the
+    same 1e-9 grid as the oracle regardless of float summation order),
+    min-member-ord renumbering. The oracle unrolls the exact
+    trajectory — per round it recomputes Σ_tot, k_in over the active
+    parity class, the python-louvain gain formula, and the
+    (score desc, prefer-staying, min community) argmax. Multi-level
+    coarsening is covered by the pytest parity/resume suite; early
+    stop is identity-extension (a converged round moves nothing), so
+    6 unrolled SQL rounds equal the engine regardless of where it
+    stopped."""
+    from k2_18_spark.graph.louvain_dist import louvain_superstep
+
+    return louvain_superstep(
+        spark,
+        _graph_edges(spark, sf_dir),
+        max_levels=1,
+        max_rounds_per_level=6,
+        score_round=9,
+        min_moves_frac=0.0,  # exact quiescence: stops are identity-extension
+    )
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from k2_18_spark.operators.textstats import quality_features
 
@@ -1555,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "graph_eigenvector": q_graph_eigenvector,
         "graph_modularity": q_graph_modularity,
+        "graph_louvain_moves": q_graph_louvain_moves,
         "graph_kcore": q_graph_kcore,
         "graph_ktruss": q_graph_ktruss,
         "graph_global_stats": q_graph_global_stats,
@@ -1983,6 +2009,88 @@ SELECT l.id, CAST(DENSE_RANK() OVER (ORDER BY m.mo) - 1 AS INT) AS cluster_id
 FROM l{max_iter} l JOIN mins m ON l.label = m.label
 """
     )
+
+def _louvain_oracle(edges_sql: str, rounds: int = 6, resolution: float = 1.0) -> str:
+    """Unrolled distributed-Louvain level-0 move phase, mirroring
+    k2_18_spark/graph/louvain_dist.py::_move_phase with score_round=9:
+    undirected projection, ord-parity active set per round, candidate
+    communities = neighbor communities ∪ own (k_in 0), score =
+    ROUND(k_in − γ·(Σ_tot − [c=c0]·k_v)·k_v/(2m), 9), argmax under
+    (score DESC, stay DESC, c ASC), renumber by min member ord."""
+    ctes = [
+        f"e0 AS MATERIALIZED ({edges_sql})",
+        """verts AS MATERIALIZED (
+    SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS ord FROM (
+        SELECT src_id AS id FROM e0 UNION SELECT dst_id FROM e0
+    )
+)""",
+        """proj AS MATERIALIZED (
+    SELECT LEAST(src_id, dst_id) AS a, GREATEST(src_id, dst_id) AS b,
+           SUM(weight) AS weight
+    FROM e0 WHERE src_id <> dst_id GROUP BY 1, 2
+)""",
+        """sym AS MATERIALIZED (
+    SELECT va.ord AS v, vb.ord AS nbr, d.weight,
+           CAST(va.ord % 2 AS INT) AS par
+    FROM (
+        SELECT a, b, weight FROM proj
+        UNION ALL SELECT b, a, weight FROM proj
+    ) d(a, b, weight)
+    JOIN verts va ON d.a = va.id
+    JOIN verts vb ON d.b = vb.id
+)""",
+        "deg AS MATERIALIZED (SELECT v, SUM(weight) AS k FROM sym GROUP BY 1)",
+        "mm AS MATERIALIZED (SELECT 2.0 * SUM(weight) AS tm FROM proj)",
+        "c0 AS (SELECT v, v AS c FROM deg)",
+    ]
+    for k in range(1, rounds + 1):
+        p = (k - 1) % 2
+        ctes.append(f"""c{k} AS MATERIALIZED (
+    SELECT prev.v, COALESCE(b.c, prev.c) AS c
+    FROM c{k - 1} prev
+    LEFT JOIN (
+        SELECT v, c FROM (
+            SELECT cand.v, cand.c,
+                   ROUND(cand.k_in
+                         - {resolution} * (sig.tot
+                             - CASE WHEN cand.c = cur.c0 THEN deg.k
+                                    ELSE 0.0 END) * deg.k / mm.tm,
+                         9) AS score,
+                   CAST(cand.c = cur.c0 AS INT) AS stay
+            FROM (
+                SELECT v, c, MAX(k_in) AS k_in FROM (
+                    SELECT s.v, nc.c, SUM(s.weight) AS k_in
+                    FROM sym s JOIN c{k - 1} nc ON s.nbr = nc.v
+                    WHERE s.par = {p}
+                    GROUP BY 1, 2
+                    UNION ALL
+                    SELECT v, c, 0.0 FROM c{k - 1} WHERE v % 2 = {p}
+                ) GROUP BY 1, 2
+            ) cand
+            JOIN (SELECT v, c AS c0 FROM c{k - 1}) cur ON cand.v = cur.v
+            JOIN (
+                SELECT cc.c, SUM(deg.k) AS tot
+                FROM c{k - 1} cc JOIN deg ON cc.v = deg.v GROUP BY 1
+            ) sig ON cand.c = sig.c
+            JOIN deg ON cand.v = deg.v
+            CROSS JOIN mm
+        ) QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY v ORDER BY score DESC, stay DESC, c ASC) = 1
+    ) b ON prev.v = b.v
+)""")
+    ctes.append(f"mins AS (SELECT c, MIN(v) AS mo FROM c{rounds} GROUP BY 1)")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT verts.id,
+       CAST(DENSE_RANK() OVER (ORDER BY m.mo) - 1 AS INT) AS cluster_id
+FROM c{rounds} l
+JOIN mins m ON l.c = m.c
+JOIN verts ON l.v = verts.ord
+"""
+    )
+
 
 _TOKENS = r"string_split_regex(trim(lower(text)), '\s+')"
 _SHINGLES = (
@@ -3086,6 +3194,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN intra i2 USING (cluster_id)
             CROSS JOIN mm
         """,
+        "graph_louvain_moves": _louvain_oracle(_CO_SUPPLIER_SQL, rounds=6),
         "graph_kcore": _kcore_oracle_sql(_KCORE_EDGES_SQL, k=3),
         "graph_ktruss": _ktruss_oracle_sql(_KCORE_EDGES_SQL, k=4),
         # reciprocity on the directed co-supplier graph (self-loops in

@@ -44,6 +44,7 @@ def compute_all_metrics(
     bridge_weight_betweenness: float = 0.7,
     louvain_max_nodes: int = 1000,
     louvain_resolution: float = 1.2,
+    scale_cluster_method: str = "louvain",
 ) -> tuple[DataFrame, DataFrame, dict]:
     """nodes/edges → (nodes+12 metrics, edges+inverse_weight+cluster
     marks, summary).
@@ -52,9 +53,11 @@ def compute_all_metrics(
     graphs up to ``louvain_max_nodes`` run the reference's exact
     algorithm (driver-side Louvain, resolution/random_state semantics
     of viz/graph2metrics.py:417-511 — the reference itself caps at
-    ~5000 nodes); larger graphs run distributed LPA (the documented
-    web-scale substitution, SURVEY §7). ``louvain_max_nodes=0``
-    forces LPA everywhere."""
+    ~5000 nodes); larger graphs run the DISTRIBUTED Louvain superstep
+    loop (graph/louvain_dist.py — same greedy-modularity objective and
+    resolution, deterministic semi-synchronous moves) or, with
+    ``scale_cluster_method="lpa"``, the round-2 LPA substitution.
+    ``louvain_max_nodes=0`` forces the scale tier everywhere."""
     nodes = nodes.cache()
     edges = edges.cache()
 
@@ -91,9 +94,16 @@ def compute_all_metrics(
         clusters = louvain_clustering(
             spark, edges, nodes=nodes, resolution=louvain_resolution
         )
-    else:
+    elif scale_cluster_method == "lpa":
         clusters = label_propagation(
             spark, edges, nodes=nodes, checkpoint_dir=checkpoint_dir
+        )
+    else:
+        from k2_18_spark.graph.louvain_dist import louvain_superstep
+
+        clusters = louvain_superstep(
+            spark, edges, nodes=nodes, resolution=louvain_resolution,
+            checkpoint_dir=checkpoint_dir,
         )
 
     bridge = bridge_scores(
