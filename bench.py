@@ -182,6 +182,20 @@ def main() -> None:
 
     timed("components", lambda: connected_components(spark, edges, nodes=nodes).count())
     timed("lpa", lambda: label_propagation(spark, edges, nodes=nodes, max_iter=10).count())
+
+    # distributed Louvain, fixed budget (2 levels × 4 move rounds =
+    # 8 gain supersteps + 1 coarsening) — measures the per-round
+    # machinery; the bench power-law graph has no community structure
+    # to converge on, like LPA above
+    from k2_18_spark.graph.louvain_dist import louvain_superstep
+
+    timed(
+        "louvain",
+        lambda: louvain_superstep(
+            spark, edges, nodes=nodes, max_levels=2, max_rounds_per_level=4
+        ).count(),
+    )
+
     timed("triangles", lambda: float(triangle_count(spark, edges)))
 
     # CPU-bound sampled-source Brandes (pure-Python work per source over a
