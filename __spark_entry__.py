@@ -1472,6 +1472,26 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id", F.round("rank", 6).alias("ppr"))
 
 
+def q_graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank spam-mass decomposition (Gyöngyi et al., VLDB'04/'06)
+    on the co-supplier graph: global PageRank, seed-biased TrustRank
+    (trusted = the three PPR seed suppliers), and the absolute /
+    relative spam-mass estimates — the DuckDB twin runs BOTH power
+    iterations as sibling recursive CTEs and joins the fixpoints."""
+    from k2_18_spark.graph.trustrank import spam_mass
+
+    out = spam_mass(
+        spark, _graph_edges(spark, sf_dir), _PPR_SEEDS, hub_top_k=32
+    )
+    return out.select(
+        "id",
+        F.round("rank", 6).alias("rank"),
+        F.round("trust", 6).alias("trust"),
+        F.round("spam_mass", 6).alias("spam_mass"),
+        F.round("rel_spam_mass", 6).alias("rel_spam_mass"),
+    )
+
+
 def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient c(v) = 2T/(d(d−1)) on the simple
     undirected projection of the co-supplier graph — the DuckDB twin
@@ -1586,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_global_stats": q_graph_global_stats,
         "graph_clustering": q_graph_clustering,
         "graph_ppr": q_graph_ppr,
+        "graph_trustrank": q_graph_trustrank,
         "link_prediction": q_link_prediction,
     }
 
@@ -1801,6 +1822,89 @@ pr(iter, id, rank, dangling, pv, err) AS (
 )
 SELECT id, ROUND(rank, 6) AS ppr
 FROM pr WHERE iter = (SELECT MAX(iter) FROM pr)
+"""
+
+
+# TrustRank spam mass: the global-PageRank and seeded-TrustRank power
+# iterations as SIBLING recursive CTEs over one shared normalized edge
+# set, joined at their fixpoints — mass = rank − trust (VLDB'06 eq. 5/6)
+_TRUSTRANK_ORACLE = """
+WITH RECURSIVE
+e0 AS MATERIALIZED ({edges_sql}),
+outw AS MATERIALIZED (SELECT src_id, SUM(weight) AS ow FROM e0 GROUP BY 1),
+e AS MATERIALIZED (
+    SELECT e0.src_id, e0.dst_id, e0.weight / outw.ow AS frac
+    FROM e0 JOIN outw ON e0.src_id = outw.src_id
+),
+verts AS MATERIALIZED (
+    SELECT v.id, v.id NOT IN (SELECT src_id FROM e0) AS dangling,
+           v.id IN ({seed_list}) AS is_seed
+    FROM (SELECT DISTINCT src_id AS id FROM e0
+          UNION SELECT DISTINCT dst_id FROM e0) v
+),
+nn AS MATERIALIZED (
+    SELECT COUNT(*) AS n,
+           SUM(CASE WHEN is_seed THEN 1 ELSE 0 END) AS ns
+    FROM verts
+),
+pr(iter, id, rank, dangling, err) AS (
+    SELECT 0, v.id, CAST(1.0 AS DOUBLE) / nn.n, v.dangling, CAST(1e18 AS DOUBLE)
+    FROM verts v CROSS JOIN nn
+    UNION ALL
+    SELECT s.iter, s.id, s.new_rank, s.dangling,
+           SUM(ABS(s.new_rank - s.prev_rank)) OVER ()
+    FROM (
+        SELECT p.iter + 1 AS iter, p.id, p.dangling, p.rank AS prev_rank,
+               0.85 * COALESCE(c.contrib, CAST(0 AS DOUBLE))
+                 + (0.85 * dm.dmass / nn.n
+                    + (CAST(1.0 AS DOUBLE) - 0.85) / nn.n) AS new_rank
+        FROM pr p
+        LEFT JOIN (
+            SELECT p2.iter, e.dst_id AS id, SUM(p2.rank * e.frac) AS contrib
+            FROM pr p2 JOIN e ON p2.id = e.src_id
+            GROUP BY 1, 2
+        ) c ON p.id = c.id AND p.iter = c.iter
+        JOIN (SELECT iter, COALESCE(SUM(CASE WHEN dangling THEN rank END),
+                                    CAST(0 AS DOUBLE)) AS dmass
+              FROM pr GROUP BY iter) dm ON dm.iter = p.iter
+        CROSS JOIN nn
+        WHERE p.err >= nn.n * CAST(1e-6 AS DOUBLE) AND p.iter < 100
+    ) s
+),
+tr(iter, id, rank, dangling, pv, err) AS (
+    SELECT 0, v.id, CAST(1.0 AS DOUBLE) / nn.n, v.dangling,
+           CASE WHEN v.is_seed THEN CAST(1.0 AS DOUBLE) / nn.ns
+                ELSE CAST(0 AS DOUBLE) END,
+           CAST(1e18 AS DOUBLE)
+    FROM verts v CROSS JOIN nn
+    UNION ALL
+    SELECT s.iter, s.id, s.new_rank, s.dangling, s.pv,
+           SUM(ABS(s.new_rank - s.prev_rank)) OVER ()
+    FROM (
+        SELECT p.iter + 1 AS iter, p.id, p.dangling, p.pv,
+               p.rank AS prev_rank,
+               0.85 * COALESCE(c.contrib, CAST(0 AS DOUBLE))
+                 + (0.85 * dm.dmass + CAST(1.0 AS DOUBLE) - 0.85) * p.pv
+                   AS new_rank
+        FROM tr p
+        LEFT JOIN (
+            SELECT p2.iter, e.dst_id AS id, SUM(p2.rank * e.frac) AS contrib
+            FROM tr p2 JOIN e ON p2.id = e.src_id
+            GROUP BY 1, 2
+        ) c ON p.id = c.id AND p.iter = c.iter
+        JOIN (SELECT iter, COALESCE(SUM(CASE WHEN dangling THEN rank END),
+                                    CAST(0 AS DOUBLE)) AS dmass
+              FROM tr GROUP BY iter) dm ON dm.iter = p.iter
+        CROSS JOIN nn
+        WHERE p.err >= nn.n * CAST(1e-6 AS DOUBLE) AND p.iter < 100
+    ) s
+),
+prf AS (SELECT id, rank FROM pr WHERE iter = (SELECT MAX(iter) FROM pr)),
+trf AS (SELECT id, rank AS trust FROM tr WHERE iter = (SELECT MAX(iter) FROM tr))
+SELECT prf.id, ROUND(prf.rank, 6) AS rank, ROUND(trf.trust, 6) AS trust,
+       ROUND(prf.rank - trf.trust, 6) AS spam_mass,
+       ROUND((prf.rank - trf.trust) / prf.rank, 6) AS rel_spam_mass
+FROM prf JOIN trf ON prf.id = trf.id
 """
 
 
@@ -3293,6 +3397,10 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN deg d ON v.id = d.v
         """,
         "graph_ppr": _PPR_ORACLE.format(
+            edges_sql=_CO_SUPPLIER_SQL,
+            seed_list=", ".join(f"'{s}'" for s in _PPR_SEEDS),
+        ),
+        "graph_trustrank": _TRUSTRANK_ORACLE.format(
             edges_sql=_CO_SUPPLIER_SQL,
             seed_list=", ".join(f"'{s}'" for s in _PPR_SEEDS),
         ),
