@@ -1492,6 +1492,22 @@ def q_graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hub/authority scores (Lempel & Moran 2000, Najork WSDM'07
+    closed form) on the multi-component variable-degree block graph —
+    the DuckDB twin recomputes the bipartite support components with a
+    min-label reach closure and replays the per-component degree
+    normalization arithmetic independently."""
+    from k2_18_spark.graph.salsa import salsa
+
+    out = salsa(spark, _kcore_edges(spark, sf_dir))
+    return out.select(
+        "id",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
 def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient c(v) = 2T/(d(d−1)) on the simple
     undirected projection of the co-supplier graph — the DuckDB twin
@@ -1607,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering": q_graph_clustering,
         "graph_ppr": q_graph_ppr,
         "graph_trustrank": q_graph_trustrank,
+        "graph_salsa": q_graph_salsa,
         "link_prediction": q_link_prediction,
     }
 
@@ -1905,6 +1922,63 @@ SELECT prf.id, ROUND(prf.rank, 6) AS rank, ROUND(trf.trust, 6) AS trust,
        ROUND(prf.rank - trf.trust, 6) AS spam_mass,
        ROUND((prf.rank - trf.trust) / prf.rank, 6) AS rel_spam_mass
 FROM prf JOIN trf ON prf.id = trf.id
+"""
+
+
+# SALSA closed form (Najork WSDM'07): bipartite support components via
+# the min-label reach closure, then per-component degree normalization
+# — a(v) = |A_C|/|A| · win(v)/Σ_C win, h(u) = |H_C|/|H| · wout(u)/Σ_C wout
+_SALSA_ORACLE = """
+WITH RECURSIVE
+e0 AS MATERIALIZED ({edges_sql}),
+e AS MATERIALIZED (
+    SELECT src_id, dst_id, SUM(weight) AS w FROM e0 GROUP BY 1, 2
+),
+bip AS MATERIALIZED (
+    SELECT 'H:' || src_id AS a, 'A:' || dst_id AS b FROM e
+),
+verts AS MATERIALIZED (
+    SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS ord FROM (
+        SELECT a AS id FROM bip UNION SELECT b FROM bip
+    )
+),
+und AS MATERIALIZED (
+    SELECT a, b FROM bip UNION SELECT b, a FROM bip
+),
+reach(id, lbl) AS (
+    SELECT v.id, v.ord FROM verts v
+    UNION
+    SELECT u.b, r.lbl FROM reach r JOIN und u ON r.id = u.a
+),
+comp AS MATERIALIZED (SELECT id, MIN(lbl) AS c FROM reach GROUP BY id),
+win AS MATERIALIZED (SELECT dst_id AS id, SUM(w) AS win FROM e GROUP BY 1),
+wout AS MATERIALIZED (SELECT src_id AS id, SUM(w) AS wout FROM e GROUP BY 1),
+at AS MATERIALIZED (
+    SELECT win.id, comp.c, win.win FROM win
+    JOIN comp ON comp.id = 'A:' || win.id
+),
+ht AS MATERIALIZED (
+    SELECT wout.id, comp.c, wout.wout FROM wout
+    JOIN comp ON comp.id = 'H:' || wout.id
+),
+ast AS (SELECT c, COUNT(*) AS n_c, SUM(win) AS w_c FROM at GROUP BY c),
+hst AS (SELECT c, COUNT(*) AS n_c, SUM(wout) AS w_c FROM ht GROUP BY c),
+a AS (
+    SELECT at.id,
+           (ast.n_c * CAST(1.0 AS DOUBLE) / (SELECT COUNT(*) FROM at))
+             * (at.win / ast.w_c) AS authority
+    FROM at JOIN ast ON at.c = ast.c
+),
+h AS (
+    SELECT ht.id,
+           (hst.n_c * CAST(1.0 AS DOUBLE) / (SELECT COUNT(*) FROM ht))
+             * (ht.wout / hst.w_c) AS hub
+    FROM ht JOIN hst ON ht.c = hst.c
+)
+SELECT COALESCE(h.id, a.id) AS id,
+       ROUND(COALESCE(h.hub, CAST(0 AS DOUBLE)), 6) AS hub,
+       ROUND(COALESCE(a.authority, CAST(0 AS DOUBLE)), 6) AS authority
+FROM h FULL OUTER JOIN a ON h.id = a.id
 """
 
 
@@ -3400,6 +3474,7 @@ def oracle_sql() -> dict[str, str]:
             edges_sql=_CO_SUPPLIER_SQL,
             seed_list=", ".join(f"'{s}'" for s in _PPR_SEEDS),
         ),
+        "graph_salsa": _SALSA_ORACLE.format(edges_sql=_KCORE_EDGES_SQL),
         "graph_trustrank": _TRUSTRANK_ORACLE.format(
             edges_sql=_CO_SUPPLIER_SQL,
             seed_list=", ".join(f"'{s}'" for s in _PPR_SEEDS),
