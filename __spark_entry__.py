@@ -1558,6 +1558,89 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bow-tie oracle graph: each block of 40 doc_ids carries one full
+# Broder bow-tie (10-cycle CORE, IN 10-14, OUT 15-19, tendrils 20-23,
+# tube 24-25, other-tendril 27, the rest disconnected). One rule table
+# generates both the Spark edges and the DuckDB twin; every rule is
+# pure modular arithmetic on doc_id (m = doc_id % 40, base = doc_id−m)
+# and targets are existence-joined against documents so partial tail
+# blocks drop identical edges on both sides. The largest SCC is every
+# block's 10-cycle; the deterministic tie-break (min scc_id, string
+# min = block 0's 'D0') makes block 0 THE core and later blocks
+# DISCONNECTED — all 8 region labels appear.
+_BOWTIE_RULES: list[tuple[str, str]] = [
+    ("m < 10", "base + ((m + 1) % 10)"),       # CORE 10-cycle
+    ("m BETWEEN 10 AND 14", "base + (m - 10)"),  # IN -> core
+    ("m < 5", "base + 15 + m"),                # core -> OUT
+    ("m IN (10, 11)", "base + 10 + m"),        # IN -> TENDRIL_IN 20,21
+    ("m IN (22, 23)", "base + (m - 7)"),       # TENDRIL_OUT 22,23 -> OUT
+    ("m = 12", "base + 24"),                   # IN -> tube head
+    ("m = 24", "base + 25"),                   # tube chain
+    ("m = 25", "base + 17"),                   # tube tail -> OUT
+    ("m = 27", "base + 20"),                   # TENDRIL_OTHER -> tendril
+]
+
+
+def _bowtie_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    m = F.pmod(F.col("doc_id"), F.lit(40))
+    base = F.col("doc_id") - m
+    # python-side twin of _BOWTIE_RULES (kept in the same order; the
+    # SQL side is generated from the rule table below)
+    conds = [
+        (m < 10, base + (m + 1) % 10),
+        ((m >= 10) & (m <= 14), base + (m - 10)),
+        (m < 5, base + 15 + m),
+        (m.isin(10, 11), base + 10 + m),
+        (m.isin(22, 23), base + (m - 7)),
+        (m == 12, base + 24),
+        (m == 24, base + 25),
+        (m == 25, base + 17),
+        (m == 27, base + 20),
+    ]
+    cand = d.select(
+        F.col("doc_id").alias("s"),
+        F.explode(F.array(*[F.when(c, t) for c, t in conds])).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    exists = _load(spark, sf_dir, "documents").select(F.col("doc_id").alias("t"))
+    return cand.join(exists, "t").select(
+        F.concat(F.lit("D"), F.col("s")).alias("src_id"),
+        F.concat(F.lit("D"), F.col("t")).alias("dst_id"),
+        F.lit("LINK").alias("edge_type"),
+        F.lit(1.0).alias("weight"),
+    )
+
+
+_BOWTIE_EDGES_SQL = " UNION ALL ".join(
+    "SELECT 'D' || a.doc_id AS src_id, 'D' || b.doc_id AS dst_id "
+    "FROM documents a JOIN documents b ON b.doc_id = "
+    + dst.replace("base", "(a.doc_id - (a.doc_id % 40))").replace(
+        "m", "(a.doc_id % 40)"
+    )
+    + " WHERE "
+    + cond.replace("m", "(a.doc_id % 40)")
+    for cond, dst in _BOWTIE_RULES
+)
+
+
+def q_graph_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie decomposition (Broder WWW'00): every vertex labeled
+    CORE / IN / OUT / TUBE / TENDRIL_IN / TENDRIL_OUT / TENDRIL_OTHER /
+    DISCONNECTED relative to the largest SCC. The DuckDB twin computes
+    the full transitive closure of the block graph and replays the
+    same set algebra (F/B closures, remainder tendrils, weak
+    component) independently."""
+    from k2_18_spark.graph.bowtie import bowtie_decomposition
+
+    nodes = (
+        _load(spark, sf_dir, "documents")
+        .select(F.concat(F.lit("D"), F.col("doc_id")).alias("id"))
+    )
+    return bowtie_decomposition(
+        spark, _bowtie_edges(spark, sf_dir), nodes=nodes
+    ).select("id", "region")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1624,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr": q_graph_ppr,
         "graph_trustrank": q_graph_trustrank,
         "graph_salsa": q_graph_salsa,
+        "graph_bowtie": q_graph_bowtie,
         "link_prediction": q_link_prediction,
     }
 
@@ -3475,6 +3559,90 @@ def oracle_sql() -> dict[str, str]:
             seed_list=", ".join(f"'{s}'" for s in _PPR_SEEDS),
         ),
         "graph_salsa": _SALSA_ORACLE.format(edges_sql=_KCORE_EDGES_SQL),
+        # Bow-tie: full transitive closure of the block graph, then the
+        # same set algebra as graph/bowtie.py replayed in SQL. The
+        # recursive closure r dedups via UNION (cycle-safe); every
+        # non-recursive set is built with explicit DISTINCT/NOT IN
+        # (DuckDB 1.x does not dedup bare UNION in a WITH RECURSIVE
+        # CTE list — see host_harmonic).
+        "graph_bowtie": f"""
+            WITH RECURSIVE
+            e AS MATERIALIZED (
+                SELECT DISTINCT src_id AS s, dst_id AS t
+                FROM ({_BOWTIE_EDGES_SQL}) WHERE src_id <> dst_id
+            ),
+            v AS MATERIALIZED (SELECT 'D' || doc_id AS id FROM documents),
+            r(a, b) AS (
+                SELECT s, t FROM e
+                UNION
+                SELECT r.a, e.t FROM r JOIN e ON e.s = r.b
+            ),
+            scc AS MATERIALIZED (
+                SELECT v.id,
+                       LEAST(v.id, COALESCE((
+                           SELECT MIN(r1.b) FROM r r1
+                           WHERE r1.a = v.id
+                             AND EXISTS (SELECT 1 FROM r r2
+                                         WHERE r2.a = r1.b AND r2.b = r1.a)
+                       ), v.id)) AS scc_id
+                FROM v
+            ),
+            core AS MATERIALIZED (
+                SELECT id FROM scc WHERE scc_id = (
+                    SELECT scc_id FROM scc GROUP BY scc_id
+                    ORDER BY COUNT(*) DESC, scc_id LIMIT 1)
+            ),
+            rep AS (SELECT MIN(id) AS rid FROM core),
+            fwd AS MATERIALIZED (
+                SELECT DISTINCT id FROM (
+                    SELECT id FROM core
+                    UNION ALL
+                    SELECT b FROM r WHERE a = (SELECT rid FROM rep))
+            ),
+            bwd AS MATERIALIZED (
+                SELECT DISTINCT id FROM (
+                    SELECT id FROM core
+                    UNION ALL
+                    SELECT a FROM r WHERE b = (SELECT rid FROM rep))
+            ),
+            in_set AS MATERIALIZED (
+                SELECT id FROM bwd WHERE id NOT IN (SELECT id FROM fwd)),
+            out_set AS MATERIALIZED (
+                SELECT id FROM fwd WHERE id NOT IN (SELECT id FROM bwd)),
+            rem AS MATERIALIZED (
+                SELECT id FROM v WHERE id NOT IN (SELECT id FROM fwd)
+                                   AND id NOT IN (SELECT id FROM bwd)),
+            fin AS MATERIALIZED (
+                SELECT rem.id FROM rem WHERE EXISTS (
+                    SELECT 1 FROM r JOIN in_set i ON r.a = i.id
+                    WHERE r.b = rem.id)),
+            bout AS MATERIALIZED (
+                SELECT rem.id FROM rem WHERE EXISTS (
+                    SELECT 1 FROM r JOIN out_set o ON r.b = o.id
+                    WHERE r.a = rem.id)),
+            se AS MATERIALIZED (
+                SELECT DISTINCT s, t FROM (
+                    SELECT s, t FROM e UNION ALL SELECT t AS s, s AS t FROM e)
+            ),
+            w(id) AS (
+                SELECT rid FROM rep
+                UNION
+                SELECT se.t FROM w JOIN se ON se.s = w.id
+            )
+            SELECT v.id,
+                   CASE
+                     WHEN v.id IN (SELECT id FROM core) THEN 'CORE'
+                     WHEN v.id IN (SELECT id FROM in_set) THEN 'IN'
+                     WHEN v.id IN (SELECT id FROM out_set) THEN 'OUT'
+                     WHEN v.id IN (SELECT id FROM fin)
+                      AND v.id IN (SELECT id FROM bout) THEN 'TUBE'
+                     WHEN v.id IN (SELECT id FROM fin) THEN 'TENDRIL_IN'
+                     WHEN v.id IN (SELECT id FROM bout) THEN 'TENDRIL_OUT'
+                     WHEN v.id IN (SELECT id FROM w) THEN 'TENDRIL_OTHER'
+                     ELSE 'DISCONNECTED'
+                   END AS region
+            FROM v
+        """,
         "graph_trustrank": _TRUSTRANK_ORACLE.format(
             edges_sql=_CO_SUPPLIER_SQL,
             seed_list=", ".join(f"'{s}'" for s in _PPR_SEEDS),
