@@ -1641,6 +1641,28 @@ def q_graph_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id", "region")
 
 
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree histogram of the co-supplier graph — the first
+    artifact every webgraph release publishes. Integer-exact."""
+    from k2_18_spark.graph.stats import degree_histogram
+
+    return degree_histogram(spark, _graph_edges(spark, sf_dir), direction="out")
+
+
+def q_graph_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete power-law exponent MLE over the out-degree tail
+    (Clauset/Shalizi/Newman 2009 eq. 3.7); the DuckDB twin replays the
+    closed form on its own degree table."""
+    from k2_18_spark.graph.stats import powerlaw_alpha
+
+    alpha, n_tail = powerlaw_alpha(
+        spark, _graph_edges(spark, sf_dir), direction="out", d_min=1
+    )
+    return spark.createDataFrame(
+        [(round(alpha, 6), n_tail)], "alpha double, n_tail long"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1708,6 +1730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_trustrank": q_graph_trustrank,
         "graph_salsa": q_graph_salsa,
         "graph_bowtie": q_graph_bowtie,
+        "graph_degree_dist": q_graph_degree_dist,
+        "graph_powerlaw": q_graph_powerlaw,
         "link_prediction": q_link_prediction,
     }
 
@@ -3559,6 +3583,21 @@ def oracle_sql() -> dict[str, str]:
             seed_list=", ".join(f"'{s}'" for s in _PPR_SEEDS),
         ),
         "graph_salsa": _SALSA_ORACLE.format(edges_sql=_KCORE_EDGES_SQL),
+        "graph_degree_dist": f"""
+            WITH e AS (SELECT DISTINCT src_id, dst_id
+                       FROM ({_CO_SUPPLIER_SQL})),
+            deg AS (SELECT src_id, COUNT(*) AS d FROM e GROUP BY 1)
+            SELECT d AS degree, COUNT(*) AS n_vertices
+            FROM deg GROUP BY 1
+        """,
+        "graph_powerlaw": f"""
+            WITH e AS (SELECT DISTINCT src_id, dst_id
+                       FROM ({_CO_SUPPLIER_SQL})),
+            deg AS (SELECT src_id, COUNT(*) AS d FROM e GROUP BY 1)
+            SELECT ROUND(1.0 + COUNT(*) / SUM(LN(d / 0.5)), 6) AS alpha,
+                   COUNT(*) AS n_tail
+            FROM deg WHERE d >= 1
+        """,
         # Bow-tie: full transitive closure of the block graph, then the
         # same set algebra as graph/bowtie.py replayed in SQL. The
         # recursive closure r dedups via UNION (cycle-safe); every

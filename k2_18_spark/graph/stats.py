@@ -226,3 +226,71 @@ def modularity(
         spark, edges, clusters, resolution=resolution, directed=directed
     )
     return float(contrib.agg(F.sum("contribution")).collect()[0][0])
+
+
+def degree_histogram(
+    spark: SparkSession, edges: DataFrame, direction: str = "out"
+) -> DataFrame:
+    """→ (degree, n_vertices): the degree distribution of the simple
+    directed graph — the first artifact every webgraph release (e.g.
+    the Common Crawl host graph) publishes. ``direction`` ∈
+    out | in | total (total = undirected-projection degree, distinct
+    neighbors). Two map-side-combinable groupBys; shuffle = O(|V|)
+    then O(distinct degrees)."""
+    e = edges.select("src_id", "dst_id").distinct()
+    if direction == "out":
+        per_v = e.groupBy(F.col("src_id").alias("id"))
+    elif direction == "in":
+        per_v = e.groupBy(F.col("dst_id").alias("id"))
+    elif direction == "total":
+        und = e.filter(F.col("src_id") != F.col("dst_id")).select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        ).distinct()
+        per_v = und.select(F.col("a").alias("id")).union(
+            und.select(F.col("b").alias("id"))
+        ).groupBy("id")
+    else:
+        raise ValueError(f"unknown direction {direction!r}")
+    deg = per_v.agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .orderBy("degree")
+    )
+
+
+def powerlaw_alpha(
+    spark: SparkSession,
+    edges: DataFrame,
+    direction: str = "out",
+    d_min: int = 1,
+) -> tuple[float, int]:
+    """Discrete power-law exponent MLE for the degree tail:
+    α̂ = 1 + n · [Σ ln(d_i / (d_min − ½))]⁻¹ over degrees ≥ d_min
+    (Clauset, Shalizi & Newman, "Power-law distributions in empirical
+    data", SIAM Review 2009, eq. 3.7 — the standard estimator for the
+    webgraph in/out-degree exponents, ~2.1/2.7 in Broder WWW'00).
+    → (alpha, n_tail). One filtered aggregate over the per-vertex
+    degree table; vertices with degree 0 never enter (they have no
+    row), matching the d_i ≥ d_min ≥ 1 tail convention."""
+    if d_min < 1:
+        raise ValueError("d_min must be >= 1")
+    hist = degree_histogram(spark, edges, direction=direction)
+    row = (
+        hist.filter(F.col("degree") >= d_min)
+        .agg(
+            F.sum(
+                F.col("n_vertices")
+                * F.log(F.col("degree") / F.lit(d_min - 0.5))
+            ).alias("s"),
+            F.sum("n_vertices").alias("n"),
+        )
+        .collect()[0]
+    )
+    n = int(row["n"] or 0)
+    if n == 0:
+        raise ValueError(f"no vertices with degree >= {d_min}")
+    # s > 0 always holds here: every term is ln(d/(d_min-0.5)) with
+    # d >= d_min > d_min - 0.5
+    return 1.0 + n / float(row["s"]), n

@@ -177,3 +177,86 @@ def test_modularity_empty_graph_raises(spark):
         modularity(spark, empty, cl)
     with pytest.raises(ValueError):
         modularity(spark, empty, cl, directed=False)
+
+
+# ---- degree_histogram / powerlaw_alpha -------------------------------
+
+import math
+
+from k2_18_spark.graph.stats import degree_histogram, powerlaw_alpha
+
+
+def test_degree_histogram_out_in_total(spark):
+    # V0 -> V1, V0 -> V2, V1 -> V2, plus dup + self-loop (total drops it)
+    df = _edges_df(spark, [(0, 1), (0, 2), (1, 2), (0, 1), (2, 2)])
+    out = {r["degree"]: r["n_vertices"] for r in
+           degree_histogram(spark, df, "out").collect()}
+    assert out == {1: 2, 2: 1}  # V0: {1,2}; V1: {2}; V2: {2} (self-loop)
+    inn = {r["degree"]: r["n_vertices"] for r in
+           degree_histogram(spark, df, "in").collect()}
+    assert inn == {1: 1, 3: 1}  # V1: 1 in; V2: from V0, V1, V2
+    tot = {r["degree"]: r["n_vertices"] for r in
+           degree_histogram(spark, df, "total").collect()}
+    # undirected simple, self-loop dropped: V0-V1, V0-V2, V1-V2 → all deg 2
+    assert tot == {2: 3}
+
+
+def test_degree_histogram_matches_nx(spark):
+    edge_list = _seeded(seed=77)
+    g = nx.Graph()
+    g.add_edges_from((a, b) for a, b in edge_list if a != b)
+    exp: dict[int, int] = {}
+    for _, d in g.degree():
+        exp[d] = exp.get(d, 0) + 1
+    got = {r["degree"]: r["n_vertices"] for r in
+           degree_histogram(spark, _edges_df(spark, edge_list), "total").collect()}
+    assert got == exp
+
+
+def test_powerlaw_alpha_closed_form(spark):
+    """CSN eq. 3.7 replayed by hand on a tiny out-degree multiset."""
+    # out-degrees: V0=3, V1=2, V2=1 (plus V3 with only in-edges → no row)
+    df = _edges_df(spark, [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)])
+    alpha, n = powerlaw_alpha(spark, df, direction="out", d_min=1)
+    s = sum(math.log(d / 0.5) for d in (3, 2, 1))
+    assert n == 3
+    assert alpha == pytest.approx(1 + 3 / s, rel=1e-12)
+    # d_min=2 drops the degree-1 vertex
+    alpha2, n2 = powerlaw_alpha(spark, df, direction="out", d_min=2)
+    s2 = sum(math.log(d / 1.5) for d in (3, 2))
+    assert (n2, alpha2) == (2, pytest.approx(1 + 2 / s2, rel=1e-12))
+
+
+def test_powerlaw_alpha_recovers_planted_exponent(spark):
+    """Degrees sampled from a discrete zeta(α=2.5) tail → α̂ within 10%."""
+    rng = random.Random(5)
+    alpha_true, d_min = 2.5, 2
+    # inverse-CDF sample from p(d) ∝ d^-α via rejection on a bounded range
+    degs = []
+    while len(degs) < 3000:
+        d = rng.randrange(d_min, 10_000)
+        if rng.random() < (d / d_min) ** (-alpha_true):
+            degs.append(d)
+    rows = []
+    v = 0
+    for i, d in enumerate(degs):
+        for j in range(d):
+            rows.append((f"s{i}", f"t{v}"))
+            v += 1
+    df = spark.createDataFrame(
+        [(a, b, "LINK", 1.0) for a, b in rows],
+        "src_id string, dst_id string, edge_type string, weight double",
+    )
+    alpha_hat, n = powerlaw_alpha(spark, df, direction="out", d_min=d_min)
+    assert n == 3000
+    assert abs(alpha_hat - alpha_true) / alpha_true < 0.10
+
+
+def test_powerlaw_alpha_guards(spark):
+    df = _edges_df(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        powerlaw_alpha(spark, df, d_min=0)
+    with pytest.raises(ValueError):
+        powerlaw_alpha(spark, df, d_min=5)  # empty tail
+    with pytest.raises(ValueError):
+        degree_histogram(spark, df, direction="sideways")
