@@ -110,24 +110,35 @@ def pagerank(
     hub_top_k: int = 256,
     strict: bool = True,
     adj: Adjacency | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank to convergence → DataFrame (id, rank).
 
     ``checkpoint_dir`` enables parquet checkpoints + lineage + resume;
     without it state is truncated via localCheckpoint (no resume).
+
+    ``init_ranks`` (id, rank) warm-starts the power iteration — the
+    incremental-crawl idiom: after a small edge delta, seed with the
+    previous converged vector instead of uniform and re-converge in a
+    handful of supersteps. Vertices missing from ``init_ranks`` (new
+    pages) start at 1/n, departed vertices are dropped, and the vector
+    is renormalized to unit mass; the fixpoint is identical to a cold
+    start (power iteration is init-independent), only the superstep
+    count changes. Ignored when a checkpoint resume is in progress
+    (the stored state is newer by definition).
     """
     from k2_18_spark.session import superstep_conf
 
     with superstep_conf(spark):
         return _pagerank_loop(
             spark, edges, nodes, alpha, max_iter, tol, checkpoint_dir,
-            job_name, num_partitions, hub_top_k, strict, adj,
+            job_name, num_partitions, hub_top_k, strict, adj, init_ranks,
         )
 
 
 def _pagerank_loop(
     spark, edges, nodes, alpha, max_iter, tol, checkpoint_dir,
-    job_name, num_partitions, hub_top_k, strict, adj,
+    job_name, num_partitions, hub_top_k, strict, adj, init_ranks=None,
 ) -> DataFrame:
     own_adj = adj is None
     if adj is None:
@@ -174,6 +185,27 @@ def _pagerank_loop(
             if marker.get("converged"):
                 return decode(ranks.select("id", "rank"))
             start_iter = last + 1
+
+    if ranks is None and init_ranks is not None:
+        seeded = adj.vertices.select("id", "orig_id", "dangling").join(
+            init_ranks.select(
+                F.col("id").alias("orig_id"), F.col("rank").alias("init_rank")
+            ),
+            "orig_id",
+            "left",
+        )
+        seeded = seeded.select(
+            "id",
+            F.coalesce("init_rank", F.lit(1.0 / n)).alias("rank"),
+            "dangling",
+        ).localCheckpoint(eager=True)
+        total = seeded.agg(F.sum("rank")).collect()[0][0] or 0.0
+        if total <= 0.0:
+            raise ValueError("init_ranks carries no positive mass")
+        ranks = seeded.select(
+            "id", (F.col("rank") / F.lit(total)).alias("rank"), "dangling"
+        ).localCheckpoint(eager=True)
+        seeded.unpersist()
 
     if ranks is None:
         ranks = adj.vertices.select(

@@ -74,8 +74,16 @@ def run_leg(zip_path: str, n_exec: int) -> dict[str, float]:
         "--workloads", WORKLOADS,
         "--shuffle-partitions", str(SHUFFLE),
     ]
+    # local-cluster workers take their scratch dirs from SPARK_LOCAL_DIRS
+    # (the cluster manager OVERRIDES spark.local.dir — Spark warns about
+    # exactly this at launch). Without it executor shuffle files land on
+    # this box's slow shared virtual disk and the multi-executor legs
+    # measure disk contention, not scaling.
+    env = dict(os.environ)
+    if os.access("/dev/shm", os.W_OK):
+        env.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
     out = subprocess.run(
-        cmd, capture_output=True, text=True, cwd=REPO, timeout=3600
+        cmd, capture_output=True, text=True, cwd=REPO, timeout=3600, env=env
     )
     m = re.search(r"LEGRESULT (\{.*\})", out.stdout)
     if not m:

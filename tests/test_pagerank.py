@@ -109,3 +109,64 @@ def test_pagerank_empty_edges_uniform(spark):
     assert len(got) == n
     for r in got:
         assert math.isclose(r["rank"], 1.0 / n, abs_tol=1e-12)
+
+
+# ---- warm start (incremental crawl) ----------------------------------
+
+import random
+
+from k2_18_spark.graph import pagerank as pr_mod
+
+
+def _rand_edges(spark, n=200, m=800, seed=11, extra=()):
+    rng = random.Random(seed)
+    pairs = {(f"N{rng.randrange(n)}", f"N{rng.randrange(n)}") for _ in range(m)}
+    pairs |= set(extra)
+    return spark.createDataFrame(
+        [(a, b, "LINK", 1.0) for a, b in sorted(pairs) if a != b],
+        "src_id string, dst_id string, edge_type string, weight double",
+    )
+
+
+def test_warm_start_same_fixpoint_fewer_supersteps(spark):
+    base = _rand_edges(spark)
+    ranks0 = pagerank(spark, base).localCheckpoint(eager=True)
+
+    delta = [("N0", "N199"), ("N42", "N7"), ("NEWPAGE", "N3")]
+    updated = _rand_edges(spark, extra=delta)
+    cold = {r["id"]: r["rank"] for r in pagerank(spark, updated).collect()}
+    cold_iters = pr_mod.LAST_RUN_ITERATIONS
+
+    warm_df = pagerank(spark, updated, init_ranks=ranks0)
+    warm_iters = pr_mod.LAST_RUN_ITERATIONS
+    warm = {r["id"]: r["rank"] for r in warm_df.collect()}
+
+    assert set(warm) == set(cold)  # NEWPAGE picked up at 1/n
+    for k in cold:
+        assert math.isclose(warm[k], cold[k], rel_tol=0, abs_tol=2e-5), (
+            k, warm[k], cold[k])
+    assert warm_iters < cold_iters, (warm_iters, cold_iters)
+    assert math.isclose(sum(warm.values()), 1.0, abs_tol=1e-6)
+
+
+def test_warm_start_identical_graph_converges_immediately(spark):
+    base = _rand_edges(spark, seed=23)
+    ranks0 = pagerank(spark, base).localCheckpoint(eager=True)
+    pagerank(spark, base, init_ranks=ranks0)
+    assert pr_mod.LAST_RUN_ITERATIONS <= 2
+
+
+def test_warm_start_rejects_zero_mass(spark):
+    base = _rand_edges(spark, seed=29)
+    # init must cover every vertex with zero rank: missing vertices
+    # would otherwise be seeded at 1/n > 0
+    verts = (
+        base.select(base.src_id.alias("id"))
+        .union(base.select(base.dst_id.alias("id")))
+        .distinct()
+    )
+    import pyspark.sql.functions as F
+
+    full_zero = verts.select("id", F.lit(0.0).alias("rank"))
+    with pytest.raises(ValueError, match="no positive mass"):
+        pagerank(spark, base, init_ranks=full_zero)
