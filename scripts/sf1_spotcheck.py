@@ -719,6 +719,83 @@ def main():
            f"{NUM_V} vertices, {bad} mismatches",
            engine_wall=te, oracle_wall=wall - te)
 
+    # -- bow-tie decomposition on the 15M-edge power-law graph ---------------
+    # Independent numpy-BFS replica: reachability closures are frontier
+    # BFS over the int-encoded edge arrays; the giant-SCC candidate is
+    # F(seed) ∩ B(seed) for the max-out-degree seed. The check is sound,
+    # not assumed: if the engine's largest SCC differed from the
+    # replica's candidate (seed outside the giant SCC, or a tie broken
+    # differently), the per-vertex label comparison below goes red.
+    t0 = time.monotonic()
+    from k2_18_spark.graph.bowtie import bowtie_decomposition
+
+    sbt = (
+        bowtie_decomposition(spark, edges, nodes=nodes)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    te = time.monotonic() - t0
+    epairs = con.sql(
+        "SELECT DISTINCT src_id, dst_id FROM e WHERE src_id <> dst_id"
+    ).df()
+    bs = epairs["src_id"].str.slice(1).to_numpy(dtype=np.int64)
+    bd = epairs["dst_id"].str.slice(1).to_numpy(dtype=np.int64)
+
+    def np_reach(seed_mask, srcs, dsts, blocked=None):
+        visited = seed_mask.copy()
+        if blocked is not None:
+            frontier = seed_mask & ~blocked
+        else:
+            frontier = seed_mask.copy()
+        while frontier.any():
+            hits = dsts[frontier[srcs]]
+            nxt = np.zeros(NUM_V, dtype=bool)
+            nxt[hits] = True
+            nxt &= ~visited
+            if blocked is not None:
+                nxt &= ~blocked
+            if not nxt.any():
+                break
+            visited |= nxt
+            frontier = nxt
+        return visited
+
+    outdeg = np.bincount(bs, minlength=NUM_V)
+    seed = int(outdeg.argmax())
+    sm = np.zeros(NUM_V, dtype=bool)
+    sm[seed] = True
+    f_seed = np_reach(sm, bs, bd)
+    b_seed = np_reach(sm, bd, bs)
+    core = f_seed & b_seed
+    fwd = np_reach(core, bs, bd)
+    bwd = np_reach(core, bd, bs)
+    in_set = bwd & ~fwd
+    out_set = fwd & ~bwd
+    f_or_b = fwd | bwd
+    fin = np_reach(in_set, bs, bd, blocked=f_or_b) & ~f_or_b & ~in_set
+    bout = np_reach(out_set, bd, bs, blocked=f_or_b) & ~f_or_b & ~out_set
+    sym_s, sym_d = np.concatenate([bs, bd]), np.concatenate([bd, bs])
+    weak = np_reach(f_or_b | fin | bout, sym_s, sym_d)
+    region = np.full(NUM_V, "DISCONNECTED", dtype=object)
+    region[weak] = "TENDRIL_OTHER"
+    region[fin & bout] = "TUBE"
+    region[fin & ~bout] = "TENDRIL_IN"
+    region[bout & ~fin] = "TENDRIL_OUT"
+    region[in_set] = "IN"
+    region[out_set] = "OUT"
+    region[core] = "CORE"
+    got_ids = sbt["id"].str.slice(1).to_numpy(dtype=np.int64)
+    bad = int((sbt["region"].to_numpy() != region[got_ids]).sum())
+    from collections import Counter
+
+    sizes = Counter(region.tolist())
+    wall = time.monotonic() - t0
+    record("bowtie", bad == 0 and len(sbt) == NUM_V, wall,
+           f"{NUM_V} vertices, core={sizes['CORE']}, "
+           f"in={sizes['IN']}, out={sizes['OUT']}, {bad} mismatches",
+           engine_wall=te, oracle_wall=wall - te)
+
     with open(OUT, "w", encoding="utf-8") as f:
         json.dump({"num_vertices": NUM_V, "num_edges": m, "checks": results},
                   f, indent=2)
