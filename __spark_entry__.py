@@ -1558,6 +1558,42 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation pairs (Small 1973, AᵀA off-diagonals) on the directed
+    variable-degree block graph, exact mode. Counts exact; jaccard and
+    overlap are single divisions of small integers, rounded to 6 dp on
+    both sides. The DuckDB twin replicates the citer-wedge join
+    independently (graph/cocitation.py:123)."""
+    from k2_18_spark.graph.cocitation import cocitation
+
+    out = cocitation(spark, _kcore_edges(spark, sf_dir), max_center_degree=None)
+    return out.select(
+        "id_a",
+        "id_b",
+        "cocitations",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("overlap", 6).alias("overlap"),
+    )
+
+
+def q_graph_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic-coupling pairs (Kessler 1963, AAᵀ off-diagonals) on
+    the same directed block graph, exact mode; the mirror-orientation
+    twin of q_graph_cocitation (graph/cocitation.py:140)."""
+    from k2_18_spark.graph.cocitation import bibliographic_coupling
+
+    out = bibliographic_coupling(
+        spark, _kcore_edges(spark, sf_dir), max_center_degree=None
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "couplings",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("overlap", 6).alias("overlap"),
+    )
+
+
 # Bow-tie oracle graph: each block of 40 doc_ids carries one full
 # Broder bow-tie (10-cycle CORE, IN 10-14, OUT 15-19, tendrils 20-23,
 # tube 24-25, other-tendril 27, the rest disconnected). One rule table
@@ -1733,6 +1769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_dist": q_graph_degree_dist,
         "graph_powerlaw": q_graph_powerlaw,
         "link_prediction": q_link_prediction,
+        "graph_cocitation": q_graph_cocitation,
+        "graph_coupling": q_graph_coupling,
     }
 
 
@@ -3726,6 +3764,56 @@ def oracle_sql() -> dict[str, str]:
             FROM nonedge n
             JOIN deg da ON da.v = n.id_a
             JOIN deg db ON db.v = n.id_b
+        """,
+        "graph_cocitation": f"""
+            WITH raw AS ({_KCORE_EDGES_SQL}),
+            e AS MATERIALIZED (
+                SELECT DISTINCT src_id, dst_id FROM raw
+                WHERE src_id <> dst_id
+            ),
+            deg AS MATERIALIZED (
+                SELECT dst_id AS v, COUNT(*) AS deg FROM e GROUP BY 1
+            ),
+            pairs AS (
+                SELECT l.dst_id AS id_a, r.dst_id AS id_b,
+                       COUNT(*) AS cocitations
+                FROM e l
+                JOIN e r ON l.src_id = r.src_id AND l.dst_id < r.dst_id
+                GROUP BY 1, 2
+            )
+            SELECT p.id_a, p.id_b, p.cocitations,
+                   ROUND(CAST(p.cocitations AS DOUBLE)
+                         / (da.deg + db.deg - p.cocitations), 6) AS jaccard,
+                   ROUND(CAST(p.cocitations AS DOUBLE)
+                         / LEAST(da.deg, db.deg), 6) AS overlap
+            FROM pairs p
+            JOIN deg da ON da.v = p.id_a
+            JOIN deg db ON db.v = p.id_b
+        """,
+        "graph_coupling": f"""
+            WITH raw AS ({_KCORE_EDGES_SQL}),
+            e AS MATERIALIZED (
+                SELECT DISTINCT src_id, dst_id FROM raw
+                WHERE src_id <> dst_id
+            ),
+            deg AS MATERIALIZED (
+                SELECT src_id AS v, COUNT(*) AS deg FROM e GROUP BY 1
+            ),
+            pairs AS (
+                SELECT l.src_id AS id_a, r.src_id AS id_b,
+                       COUNT(*) AS couplings
+                FROM e l
+                JOIN e r ON l.dst_id = r.dst_id AND l.src_id < r.src_id
+                GROUP BY 1, 2
+            )
+            SELECT p.id_a, p.id_b, p.couplings,
+                   ROUND(CAST(p.couplings AS DOUBLE)
+                         / (da.deg + db.deg - p.couplings), 6) AS jaccard,
+                   ROUND(CAST(p.couplings AS DOUBLE)
+                         / LEAST(da.deg, db.deg), 6) AS overlap
+            FROM pairs p
+            JOIN deg da ON da.v = p.id_a
+            JOIN deg db ON db.v = p.id_b
         """,
         "graph_anf_totals": _anf_oracle(
             4,
