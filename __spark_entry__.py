@@ -19,6 +19,12 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from k2_18_spark.functions.urls import PUBLIC_SUFFIXES_2  # noqa: E402
+
+#: SQL list literal of the lite public-suffix contract (shared DATA,
+#: not logic — the url_canonical oracle reimplements the lookup itself)
+_PSL2_SQL = "[" + ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES_2) + "]"
+
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -1558,6 +1564,70 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _messy_url_col() -> F.Column:
+    """Deterministic messy URL from doc_id — exercises every rule of
+    the canonicalization contract (case, default/explicit ports,
+    tracking params, unsorted params, fragments). The DuckDB twin
+    regenerates the same string arithmetically."""
+    did = F.col("doc_id")
+    m2, m3, m4, m5 = (F.pmod(did, F.lit(k)) for k in (2, 3, 4, 5))
+    scheme = F.when(m2 == 0, F.lit("https")).otherwise(F.lit("HTTP"))
+    host = (
+        F.when(m3 == 0, F.lit("WWW.Example.COM"))
+        .when(m3 == 1, F.lit("www.example.com"))
+        .otherwise(F.lit("Sub.Example.Co.UK"))
+    )
+    port = (
+        F.when(m5 == 0, F.when(m2 == 0, F.lit(":443")).otherwise(F.lit(":80")))
+        .when(m5 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    query = (
+        F.when(m4 == 1, F.lit("?b=2&a=1"))
+        .when(m4 == 2, F.lit("?utm_source=x&a=1"))
+        .when(m4 == 3, F.lit("?a=1&utm_campaign=y&b=2"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(
+        m5.isin(0, 2), F.concat(F.lit("#sec"), m5.cast("string"))
+    ).otherwise(F.lit(""))
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        port,
+        F.lit("/Page/"),
+        did.cast("string"),
+        query,
+        frag,
+    )
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registered domain + path depth
+    (functions/urls.py) over deterministically-messy URLs synthesized
+    from doc_id. The DuckDB twin rebuilds the same messy strings and
+    canonicalizes them with an independent SQL implementation
+    (regexp_extract + list_filter/list_sort), so scheme/host
+    lowercasing, default-port stripping, tracking-param removal,
+    param sorting, fragment dropping, and the public-suffix lookup
+    are each cross-checked byte-for-byte."""
+    from k2_18_spark.functions.urls import (
+        canonical_url,
+        registered_domain,
+        url_depth,
+    )
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    messy = _messy_url_col()
+    return d.select(
+        "doc_id",
+        canonical_url(messy).alias("canonical_url"),
+        registered_domain(messy).alias("domain"),
+        url_depth(messy).cast("long").alias("depth"),
+    )
+
+
 def q_graph_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-citation pairs (Small 1973, AᵀA off-diagonals) on the directed
     variable-degree block graph, exact mode. Counts exact; jaccard and
@@ -1770,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_powerlaw": q_graph_powerlaw,
         "link_prediction": q_link_prediction,
         "graph_cocitation": q_graph_cocitation,
+        "url_canonical": q_url_canonical,
         "graph_coupling": q_graph_coupling,
     }
 
@@ -3764,6 +3835,78 @@ def oracle_sql() -> dict[str, str]:
             FROM nonedge n
             JOIN deg da ON da.v = n.id_a
             JOIN deg db ON db.v = n.id_b
+        """,
+        "url_canonical": f"""
+            WITH messy AS (
+                SELECT doc_id,
+                    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)
+                    || '://'
+                    || (CASE doc_id % 3 WHEN 0 THEN 'WWW.Example.COM'
+                            WHEN 1 THEN 'www.example.com'
+                            ELSE 'Sub.Example.Co.UK' END)
+                    || (CASE WHEN doc_id % 5 = 0 THEN
+                            (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+                        WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END)
+                    || '/Page/' || doc_id
+                    || (CASE doc_id % 4 WHEN 1 THEN '?b=2&a=1'
+                            WHEN 2 THEN '?utm_source=x&a=1'
+                            WHEN 3 THEN '?a=1&utm_campaign=y&b=2'
+                            ELSE '' END)
+                    || (CASE WHEN doc_id % 5 IN (0, 2)
+                            THEN '#sec' || (doc_id % 5) ELSE '' END) AS url
+                FROM documents
+            ),
+            parts AS (
+                SELECT doc_id,
+                    lower(regexp_extract(url,
+                        '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                    regexp_extract(url,
+                        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS auth,
+                    regexp_extract(url,
+                        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                        AS path,
+                    regexp_extract(url, '\\?([^#]*)', 1) AS q
+                FROM messy
+            ),
+            canon AS (
+                SELECT doc_id, scheme,
+                    lower(regexp_replace(auth, ':[0-9]+$', '')) AS host,
+                    regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+                    CASE WHEN path = '' THEN '/' ELSE path END AS path,
+                    COALESCE(array_to_string(list_sort(list_filter(
+                        string_split(q, '&'),
+                        x -> x <> '' AND NOT regexp_matches(x,
+                            '^(utm_[a-z]+|fbclid|gclid|msclkid)='))),
+                        '&'), '') AS cq
+                FROM parts
+            ),
+            dom AS (
+                SELECT doc_id,
+                    string_split(host, '.') AS labels,
+                    len(string_split(host, '.')) AS n,
+                    host
+                FROM canon
+            )
+            SELECT c.doc_id,
+                   c.scheme || '://' || c.host
+                   || (CASE WHEN c.port = ''
+                            OR (c.scheme = 'http' AND c.port = '80')
+                            OR (c.scheme = 'https' AND c.port = '443')
+                        THEN '' ELSE ':' || c.port END)
+                   || c.path
+                   || (CASE WHEN c.cq = '' THEN '' ELSE '?' || c.cq END)
+                       AS canonical_url,
+                   CASE WHEN d.n < 2 THEN ''
+                        WHEN d.n >= 3 AND list_contains(
+                                {_PSL2_SQL},
+                                d.labels[-2] || '.' || d.labels[-1])
+                        THEN d.labels[-3] || '.' || d.labels[-2] || '.'
+                             || d.labels[-1]
+                        ELSE d.labels[-2] || '.' || d.labels[-1] END
+                       AS domain,
+                   CAST(len(list_filter(string_split(c.path, '/'),
+                        x -> x <> '')) AS BIGINT) AS depth
+            FROM canon c JOIN dom d ON d.doc_id = c.doc_id
         """,
         "graph_cocitation": f"""
             WITH raw AS ({_KCORE_EDGES_SQL}),
