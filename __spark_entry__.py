@@ -1628,6 +1628,31 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (pipeline/redirects.py pointer
+    doubling) on a deterministic redirect map: within each block of 16
+    doc_ids, m=1..12 chain down to the m=0 terminal (chain lengths
+    1..12 — straddling the max_hops=8 cap), m=13/14/15 form a 3-cycle.
+    The DuckDB twin follows chains ONE hop at a time with a recursive
+    CTE, so the log-round doubling (4 self-joins) is checked against a
+    linear walker, including cap and cycle semantics."""
+    from k2_18_spark.pipeline.redirects import resolve_redirects
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    m = F.pmod(did, F.lit(16))
+    dst = (
+        F.when(m.between(1, 12), did - 1)
+        .when(m.isin(13, 14), did + 1)
+        .when(m == 15, did - 2)
+    )
+    red = d.select(
+        F.concat(F.lit("u"), did.cast("string")).alias("src_url"),
+        F.concat(F.lit("u"), dst.cast("string")).alias("dst_url"),
+    ).filter(F.col("dst_url").isNotNull())
+    return resolve_redirects(spark, red, max_hops=8)
+
+
 def q_graph_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-citation pairs (Small 1973, AᵀA off-diagonals) on the directed
     variable-degree block graph, exact mode. Counts exact; jaccard and
@@ -1841,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "graph_cocitation": q_graph_cocitation,
         "url_canonical": q_url_canonical,
+        "url_redirects": q_url_redirects,
         "graph_coupling": q_graph_coupling,
     }
 
@@ -3907,6 +3933,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(string_split(c.path, '/'),
                         x -> x <> '')) AS BIGINT) AS depth
             FROM canon c JOIN dom d ON d.doc_id = c.doc_id
+        """,
+        "url_redirects": """
+            WITH RECURSIVE red AS (
+                SELECT 'u' || doc_id AS src,
+                       'u' || (CASE WHEN doc_id % 16 BETWEEN 1 AND 12
+                                    THEN doc_id - 1
+                                WHEN doc_id % 16 IN (13, 14)
+                                    THEN doc_id + 1
+                                ELSE doc_id - 2 END) AS dst
+                FROM documents WHERE doc_id % 16 >= 1
+            ),
+            walk AS (
+                SELECT src, dst AS ptr, CAST(1 AS BIGINT) AS hops FROM red
+                UNION ALL
+                SELECT w.src, r.dst, w.hops + 1
+                FROM walk w JOIN red r ON r.src = w.ptr
+                WHERE w.hops <= 8
+            ),
+            last AS (
+                SELECT src, ptr, hops,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                                          ORDER BY hops DESC) AS rn
+                FROM walk
+            )
+            SELECT l.src AS src_url,
+                   CASE WHEN t.src IS NULL AND l.hops <= 8
+                        THEN l.ptr END AS final_url,
+                   CASE WHEN t.src IS NULL AND l.hops <= 8
+                        THEN l.hops END AS hops,
+                   (t.src IS NULL AND l.hops <= 8) AS resolved
+            FROM last l
+            LEFT JOIN (SELECT DISTINCT src FROM red) t ON t.src = l.ptr
+            WHERE l.rn = 1
         """,
         "graph_cocitation": f"""
             WITH raw AS ({_KCORE_EDGES_SQL}),
