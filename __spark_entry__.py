@@ -1653,6 +1653,38 @@ def q_url_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_redirects(spark, red, max_hops=8)
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container round-trip (io/warc.py): synthesize the pages
+    table, serialize every page into an ISO-28500 response record
+    (pure column expressions), pack records into 8 .warc-style blobs,
+    parse them back with the Arrow-batched parser, and report per-url
+    record fields + payload checksum. The DuckDB twin reconstructs the
+    RAW html arithmetically (synth_pages rules) and computes the
+    expected Content-Length / WARC-Date / md5 without ever parsing —
+    so framing, length arithmetic, date rendering, and payload byte
+    identity are all independently verified."""
+    from k2_18_spark.io.warc import parse_warc, to_warc_records, warc_files
+    from k2_18_spark.pipeline.linkgraph import synth_pages
+
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .filter(F.col("text").isNotNull())
+    )
+    n_docs = _load(spark, sf_dir, "documents").count()
+    pages = synth_pages(docs, n_docs)
+    parsed = parse_warc(warc_files(to_warc_records(pages), num_files=8))
+    return parsed.select(
+        "url",
+        "record_type",
+        "warc_date",
+        "content_length",
+        "http_status",
+        F.md5("payload").alias("payload_md5"),
+        F.length("payload").cast("long").alias("payload_len"),
+    )
+
+
 def q_graph_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-citation pairs (Small 1973, AᵀA off-diagonals) on the directed
     variable-degree block graph, exact mode. Counts exact; jaccard and
@@ -1867,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cocitation": q_graph_cocitation,
         "url_canonical": q_url_canonical,
         "url_redirects": q_url_redirects,
+        "warc_roundtrip": q_warc_roundtrip,
         "graph_coupling": q_graph_coupling,
     }
 
@@ -3933,6 +3966,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(string_split(c.path, '/'),
                         x -> x <> '')) AS BIGINT) AS depth
             FROM canon c JOIN dom d ON d.doc_id = c.doc_id
+        """,
+        # WARC round-trip: rebuild the RAW synthesized html (script/
+        # style blocks included — unlike the pages_linkgraph oracle,
+        # which rebuilds the post-extraction text), then compute the
+        # expected WARC fields arithmetically: the HTTP envelope is 77
+        # fixed bytes + the decimal digits of the body length, and
+        # WARC-Date is the synthesis epoch + doc_id minutes in UTC.
+        "warc_roundtrip": """
+            WITH nn AS MATERIALIZED (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+            raw AS MATERIALIZED (
+                SELECT d.doc_id,
+                       'https://example.org/page/' || d.doc_id AS url,
+                       '<html><body>' || chr(10) || '<h1>Doc ' || d.doc_id
+                       || '</h1>' || chr(10)
+                       || CASE WHEN d.doc_id % 3 = 0 THEN
+                              '<script>var x=' || d.doc_id || ';</script>'
+                              || chr(10) ELSE '' END
+                       || CASE WHEN d.doc_id % 5 = 0 THEN
+                              '<style>p{color:red}</style>' || chr(10)
+                          ELSE '' END
+                       || '<p>' || d.text || '</p>' || chr(10)
+                       || '<a href="https://example.org/page/'
+                       || ((d.doc_id * 7 + 1) % nn.n) || '">r</a>' || chr(10)
+                       || '<a href="https://example.org/page/'
+                       || ((d.doc_id * 13 + 3) % nn.n) || '">r</a>' || chr(10)
+                       || CASE WHEN d.doc_id % 2 = 0 THEN
+                              '<a href="https://example.org/page/'
+                              || ((d.doc_id * 3 + 5) % nn.n) || '">r</a>'
+                              || chr(10)
+                          ELSE '' END
+                       || '</body></html>' || chr(10) AS html
+                FROM documents d CROSS JOIN nn
+                WHERE d.text IS NOT NULL
+            )
+            SELECT url,
+                   'response' AS record_type,
+                   strftime(make_timestamp(
+                       (1767225600 + doc_id * 60) * 1000000),
+                       '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                   CAST(77 + strlen(CAST(strlen(html) AS VARCHAR))
+                        + strlen(html) AS BIGINT) AS content_length,
+                   CAST(200 AS BIGINT) AS http_status,
+                   md5(html) AS payload_md5,
+                   CAST(strlen(html) AS BIGINT) AS payload_len
+            FROM raw
         """,
         "url_redirects": """
             WITH RECURSIVE red AS (
