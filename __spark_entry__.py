@@ -1685,6 +1685,54 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots matching end-to-end (functions/robots.py):
+    synthesize one robots.txt per host h{0..7} (a prefix disallow, a
+    longer allow override, an anchored wildcard, a crawl delay), parse
+    it into rules, and verdict a frontier of 5 URL shapes per doc_id
+    (clean page / disallowed section / allow-override / anchored-
+    wildcard hit / query defeating the $ anchor). The DuckDB twin
+    computes each verdict arithmetically from the construction — the
+    parser, group selection, longest-match, tie, and anchor semantics
+    all have to agree for 500 rows."""
+    from k2_18_spark.functions.robots import match_allowed, parse_robots
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    k = F.pmod(F.col("doc_id"), F.lit(8))
+    hosts = d.select(k.alias("k")).distinct()
+    robots = hosts.select(
+        F.concat(F.lit("h"), F.col("k").cast("string"), F.lit(".example.org")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /sec"),
+            F.col("k").cast("string"),
+            F.lit("/\nAllow: /sec"),
+            F.col("k").cast("string"),
+            F.lit("/open\nDisallow: /*.bin$\nCrawl-delay: "),
+            (F.col("k") + 1).cast("string"),
+            F.lit("\n"),
+        ).alias("robots_txt"),
+    )
+    rules = parse_robots(robots, user_agent="TestBot")
+
+    did = F.col("doc_id")
+    m = F.pmod(did, F.lit(5))
+    ks = k.cast("string")
+    ids = did.cast("string")
+    path = (
+        F.when(m == 0, F.concat(F.lit("/page/"), ids))
+        .when(m == 1, F.concat(F.lit("/sec"), ks, F.lit("/"), ids))
+        .when(m == 2, F.concat(F.lit("/sec"), ks, F.lit("/open"), ids))
+        .when(m == 3, F.concat(F.lit("/files/"), ids, F.lit(".bin")))
+        .otherwise(F.concat(F.lit("/files/"), ids, F.lit(".bin?x=1")))
+    )
+    urls = d.select(
+        F.concat(F.lit("https://h"), ks, F.lit(".example.org"), path).alias("url")
+    )
+    return match_allowed(urls, rules).select("url", "allowed")
+
+
 def q_graph_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-citation pairs (Small 1973, AᵀA off-diagonals) on the directed
     variable-degree block graph, exact mode. Counts exact; jaccard and
@@ -1900,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "url_redirects": q_url_redirects,
         "warc_roundtrip": q_warc_roundtrip,
+        "robots_verdicts": q_robots_verdicts,
         "graph_coupling": q_graph_coupling,
     }
 
@@ -4012,6 +4061,24 @@ def oracle_sql() -> dict[str, str]:
                    md5(html) AS payload_md5,
                    CAST(strlen(html) AS BIGINT) AS payload_len
             FROM raw
+        """,
+        "robots_verdicts": """
+            SELECT 'https://h' || (doc_id % 8) || '.example.org'
+                   || (CASE doc_id % 5
+                       WHEN 0 THEN '/page/' || doc_id
+                       WHEN 1 THEN '/sec' || (doc_id % 8) || '/' || doc_id
+                       WHEN 2 THEN '/sec' || (doc_id % 8) || '/open' || doc_id
+                       WHEN 3 THEN '/files/' || doc_id || '.bin'
+                       ELSE '/files/' || doc_id || '.bin?x=1' END) AS url,
+                   -- verdicts by construction: m=1 hits the section
+                   -- disallow; m=2 the longer allow overrides it;
+                   -- m=3 ends in .bin so the anchored wildcard blocks;
+                   -- m=4 carries a query so the $ anchor cannot match
+                   (CASE doc_id % 5
+                       WHEN 1 THEN false
+                       WHEN 3 THEN false
+                       ELSE true END) AS allowed
+            FROM documents
         """,
         "url_redirects": """
             WITH RECURSIVE red AS (
