@@ -1733,6 +1733,81 @@ def q_robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_allowed(urls, rules).select("url", "allowed")
 
 
+def q_graph_seeded_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded label propagation (graph/seeded_lpa.py), directed mode,
+    6 synchronous rounds on the variable-degree block graph with every
+    block head seeded L{block%3}. The DuckDB twin unrolls the exact
+    trajectory (votes → rank-1 argmax with min-label ties → clamped
+    update) round by round, so spread depth, tie-breaks, clamping, and
+    the NULL-unreached contract are all checked per round."""
+    from k2_18_spark.graph.seeded_lpa import seeded_label_propagation
+
+    edges = _kcore_edges(spark, sf_dir)
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    seeds = d.filter(F.pmod("doc_id", F.lit(25)) == 0).select(
+        F.concat(F.lit("D"), F.col("doc_id")).alias("id"),
+        F.concat(
+            F.lit("L"), F.pmod(F.col("doc_id") / 25, F.lit(3)).cast("int")
+        ).alias("label"),
+    )
+    return seeded_label_propagation(
+        spark, edges, seeds, max_iter=6, directed=True
+    )
+
+
+def _seeded_lpa_oracle_sql(edges_sql: str, rounds: int = 6) -> str:
+    """Unrolled synchronous seeded-LPA trajectory (directed votes)."""
+    parts = [
+        f"WITH raw AS MATERIALIZED ({edges_sql}),",
+        """e AS MATERIALIZED (
+            SELECT src_id, dst_id, SUM(weight) AS weight FROM raw
+            WHERE src_id <> dst_id GROUP BY 1, 2
+        ),
+        seeds AS MATERIALIZED (
+            SELECT 'D' || doc_id AS id,
+                   'L' || ((doc_id // 25) % 3) AS label
+            FROM documents WHERE doc_id % 25 = 0
+        ),
+        verts AS MATERIALIZED (
+            SELECT DISTINCT id FROM (
+                SELECT src_id AS id FROM e
+                UNION ALL SELECT dst_id FROM e
+                UNION ALL SELECT id FROM seeds
+            )
+        ),
+        s0 AS MATERIALIZED (
+            SELECT v.id, seeds.label,
+                   (seeds.label IS NOT NULL) AS is_seed
+            FROM verts v LEFT JOIN seeds ON seeds.id = v.id
+        )""",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""", v{k} AS (
+            SELECT e.dst_id AS id, s.label, SUM(e.weight) AS w
+            FROM e JOIN s{k - 1} s ON s.id = e.src_id
+            WHERE s.label IS NOT NULL GROUP BY 1, 2
+        ),
+        a{k} AS (
+            SELECT id, label AS lab FROM (
+                SELECT id, label,
+                       RANK() OVER (PARTITION BY id
+                                    ORDER BY w DESC, label ASC) AS rk
+                FROM v{k}
+            ) WHERE rk = 1
+        ),
+        s{k} AS MATERIALIZED (
+            SELECT s.id,
+                   CASE WHEN s.is_seed THEN s.label
+                        ELSE COALESCE(a.lab, s.label) END AS label,
+                   s.is_seed
+            FROM s{k - 1} s LEFT JOIN a{k} a ON a.id = s.id
+        )"""
+        )
+    parts.append(f"SELECT id, label, is_seed FROM s{rounds}")
+    return "\n".join(parts)
+
+
 def q_graph_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-citation pairs (Small 1973, AᵀA off-diagonals) on the directed
     variable-degree block graph, exact mode. Counts exact; jaccard and
@@ -1949,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_redirects": q_url_redirects,
         "warc_roundtrip": q_warc_roundtrip,
         "robots_verdicts": q_robots_verdicts,
+        "graph_seeded_labels": q_graph_seeded_labels,
         "graph_coupling": q_graph_coupling,
     }
 
@@ -4062,6 +4138,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(html) AS BIGINT) AS payload_len
             FROM raw
         """,
+        "graph_seeded_labels": _seeded_lpa_oracle_sql(_KCORE_EDGES_SQL),
         "robots_verdicts": """
             SELECT 'https://h' || (doc_id % 8) || '.example.org'
                    || (CASE doc_id % 5
