@@ -1808,6 +1808,18 @@ def _seeded_lpa_oracle_sql(edges_sql: str, rounds: int = 6) -> str:
     return "\n".join(parts)
 
 
+def q_graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep pseudo-diameter (graph/diameter.py) on the
+    symmetrized block graph — deterministic start at the min vertex id
+    ('D0', string order), farthest-vertex tie-break min id. The DuckDB
+    twin replays both sweeps with recursive-UNION BFS closures and the
+    same ordering, so frontier rounds, endpoint selection, and the
+    component-confined reach count must all agree."""
+    from k2_18_spark.graph.diameter import pseudo_diameter
+
+    return pseudo_diameter(spark, _kcore_edges(spark, sf_dir))
+
+
 def q_graph_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-citation pairs (Small 1973, AᵀA off-diagonals) on the directed
     variable-degree block graph, exact mode. Counts exact; jaccard and
@@ -2025,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "robots_verdicts": q_robots_verdicts,
         "graph_seeded_labels": q_graph_seeded_labels,
+        "graph_diameter": q_graph_diameter,
         "graph_coupling": q_graph_coupling,
     }
 
@@ -4139,6 +4152,41 @@ def oracle_sql() -> dict[str, str]:
             FROM raw
         """,
         "graph_seeded_labels": _seeded_lpa_oracle_sql(_KCORE_EDGES_SQL),
+        "graph_diameter": f"""
+            WITH RECURSIVE raw AS MATERIALIZED ({_KCORE_EDGES_SQL}),
+            he AS MATERIALIZED (
+                SELECT DISTINCT s, t FROM (
+                    SELECT src_id AS s, dst_id AS t FROM raw
+                    WHERE src_id <> dst_id
+                    UNION ALL
+                    SELECT dst_id, src_id FROM raw WHERE src_id <> dst_id
+                )
+            ),
+            d(src, dst, dd) AS (
+                SELECT 'D0', 'D0', 0
+                UNION
+                SELECT d.src, he.t, d.dd + 1
+                FROM d JOIN he ON d.dst = he.s WHERE d.dd < 40
+            ),
+            md AS (SELECT dst, MIN(dd) AS dist FROM d GROUP BY 1),
+            far AS MATERIALIZED (
+                SELECT dst, dist FROM md
+                ORDER BY dist DESC, dst ASC LIMIT 1
+            ),
+            d2(src, dst, dd) AS (
+                SELECT dst, dst, 0 FROM far
+                UNION
+                SELECT d2.src, he.t, d2.dd + 1
+                FROM d2 JOIN he ON d2.dst = he.s WHERE d2.dd < 40
+            ),
+            md2 AS (SELECT dst, MIN(dd) AS dist FROM d2 GROUP BY 1)
+            SELECT 'D0' AS start_id,
+                   CAST((SELECT dist FROM far) AS BIGINT) AS sweep1_ecc,
+                   (SELECT dst FROM far) AS peripheral_id,
+                   CAST(MAX(dist) AS BIGINT) AS diameter_lb,
+                   CAST(COUNT(*) AS BIGINT) AS n_reached
+            FROM md2
+        """,
         "robots_verdicts": """
             SELECT 'https://h' || (doc_id % 8) || '.example.org'
                    || (CASE doc_id % 5
