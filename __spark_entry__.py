@@ -1820,6 +1820,79 @@ def q_graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pseudo_diameter(spark, _kcore_edges(spark, sf_dir))
 
 
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML parsing (functions/sitemap.py): build one <urlset>
+    per host h{0..15} with an entry per doc (lastmod/changefreq/
+    priority each omitted on their own doc_id schedule to exercise
+    NULLs) plus one <sitemapindex> naming all 16 sitemaps, parse the
+    blobs back, and compare to the DuckDB twin that regenerates every
+    entry row arithmetically — field extraction, kind detection,
+    namespace-free tags, and omission handling all verified per row."""
+    from k2_18_spark.functions.sitemap import parse_sitemaps
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    k = F.pmod(did, F.lit(16)).cast("string")
+    ids = did.cast("string")
+    cf = F.element_at(
+        F.lit(["daily", "weekly", "monthly", "never"]),
+        (F.pmod(did, F.lit(4)) + 1).cast("int"),
+    )
+    entry = F.concat(
+        F.lit("<url><loc>https://h"), k, F.lit(".example.org/page/"), ids,
+        F.lit("</loc>"),
+        F.when(
+            F.pmod(did, F.lit(7)) != 0,
+            F.concat(
+                F.lit("<lastmod>2026-01-"),
+                F.lpad((F.pmod(did, F.lit(28)) + 1).cast("string"), 2, "0"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(did, F.lit(3)) != 0,
+            F.concat(F.lit("<changefreq>"), cf, F.lit("</changefreq>")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(did, F.lit(5)) != 0,
+            F.concat(
+                F.lit("<priority>0."),
+                F.pmod(did, F.lit(10)).cast("string"),
+                F.lit("</priority>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    urlsets = (
+        d.groupBy(F.concat(F.lit("h"), k, F.lit(".example.org")).alias("host"))
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(F.collect_list(entry), ""),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+    )
+    idx_entry = F.concat(
+        F.lit("<sitemap><loc>https://h"),
+        F.col("k"),
+        F.lit(".example.org/sitemap.xml</loc></sitemap>"),
+    )
+    index = (
+        d.select(F.pmod(did, F.lit(16)).cast("string").alias("k"))
+        .distinct()
+        .agg(
+            F.concat(
+                F.lit("<sitemapindex>"),
+                F.array_join(F.collect_list(idx_entry), ""),
+                F.lit("</sitemapindex>"),
+            ).alias("sitemap_xml")
+        )
+        .select(F.lit("index.example.org").alias("host"), "sitemap_xml")
+    )
+    return parse_sitemaps(urlsets.unionByName(index))
+
+
 def q_graph_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-citation pairs (Small 1973, AᵀA off-diagonals) on the directed
     variable-degree block graph, exact mode. Counts exact; jaccard and
@@ -2038,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_verdicts": q_robots_verdicts,
         "graph_seeded_labels": q_graph_seeded_labels,
         "graph_diameter": q_graph_diameter,
+        "sitemap_parse": q_sitemap_parse,
         "graph_coupling": q_graph_coupling,
     }
 
@@ -4186,6 +4260,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(dist) AS BIGINT) AS diameter_lb,
                    CAST(COUNT(*) AS BIGINT) AS n_reached
             FROM md2
+        """,
+        "sitemap_parse": """
+            SELECT 'h' || (doc_id % 16) || '.example.org' AS host,
+                   'urlset' AS kind,
+                   'https://h' || (doc_id % 16) || '.example.org/page/'
+                       || doc_id AS loc,
+                   CASE WHEN doc_id % 7 <> 0 THEN
+                       '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+                                          2, '0') END AS lastmod,
+                   CASE WHEN doc_id % 3 <> 0 THEN
+                       (['daily', 'weekly', 'monthly', 'never'])
+                           [doc_id % 4 + 1] END AS changefreq,
+                   CASE WHEN doc_id % 5 <> 0 THEN
+                       CAST('0.' || (doc_id % 10) AS DOUBLE) END AS priority
+            FROM documents
+            UNION ALL
+            SELECT 'index.example.org', 'index',
+                   'https://h' || k || '.example.org/sitemap.xml',
+                   NULL, NULL, NULL
+            FROM (SELECT DISTINCT doc_id % 16 AS k FROM documents)
         """,
         "robots_verdicts": """
             SELECT 'https://h' || (doc_id % 8) || '.example.org'

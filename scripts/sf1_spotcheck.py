@@ -796,6 +796,85 @@ def main():
            f"in={sizes['IN']}, out={sizes['OUT']}, {bad} mismatches",
            engine_wall=te, oracle_wall=wall - te)
 
+    # -- redirect resolution at 1M urls (pointer doubling) -------------------
+    # Deterministic map over u0..u{NUM_V-1}: within blocks of 64,
+    # m=1..48 chain down to the m=0 terminal (chains up to 48 hops —
+    # straddling max_hops=40), m=49/50/51 form a 3-cycle, the rest
+    # don't redirect. Engine resolves in ⌈log2(40)⌉+1 = 7 doubling
+    # supersteps; the replica follows pointers one hop at a time,
+    # vectorized over all sources simultaneously (41 numpy steps).
+    t0 = time.monotonic()
+    import pandas as pd
+
+    from k2_18_spark.pipeline.redirects import resolve_redirects
+
+    MAXH = 40
+    rid = F.col("id")
+    rm = F.pmod(rid, F.lit(64))
+    rdst = (
+        F.when(rm.between(1, 48), rid - 1)
+        .when(rm.isin(49, 50), rid + 1)
+        .when(rm == 51, rid - 2)
+    )
+    red_df = (
+        spark.range(NUM_V)
+        .select(
+            F.concat(F.lit("u"), rid.cast("string")).alias("src_url"),
+            F.concat(F.lit("u"), rdst.cast("string")).alias("dst_url"),
+        )
+        .filter(F.col("dst_url").isNotNull())
+    )
+    sres = (
+        resolve_redirects(spark, red_df, max_hops=MAXH)
+        .toPandas()
+        .sort_values("src_url")
+        .reset_index(drop=True)
+    )
+    te = time.monotonic() - t0
+
+    ids = np.arange(NUM_V, dtype=np.int64)
+    mm = ids % 64
+    nxt = np.full(NUM_V, -1, dtype=np.int64)
+    nxt[(mm >= 1) & (mm <= 48)] = ids[(mm >= 1) & (mm <= 48)] - 1
+    nxt[(mm == 49) | (mm == 50)] = ids[(mm == 49) | (mm == 50)] + 1
+    nxt[mm == 51] = ids[mm == 51] - 2
+    nxt[nxt >= NUM_V] = -1  # partial tail blocks drop the same rows
+    src_ids = ids[nxt >= 0]
+    ptr = nxt[src_ids].copy()
+    hops = np.ones(len(src_ids), dtype=np.int64)
+    for _ in range(MAXH + 1):
+        live = (ptr >= 0) & (nxt[ptr] >= 0) & (hops <= MAXH)
+        if not live.any():
+            break
+        ptr[live] = nxt[ptr[live]]
+        hops[live] += 1
+    resolved = (nxt[ptr] < 0) & (hops <= MAXH)
+    exp = pd.DataFrame(
+        {
+            "src_url": ["u" + str(i) for i in src_ids],
+            "final_url": np.where(resolved, [f"u{p}" for p in ptr], None),
+            "hops": np.where(resolved, hops, np.nan),
+            "resolved": resolved,
+        }
+    ).sort_values("src_url").reset_index(drop=True)
+    bad = int((sres["resolved"].to_numpy() != exp["resolved"].to_numpy()).sum())
+    bad += int(
+        (
+            sres["final_url"].fillna("").to_numpy()
+            != exp["final_url"].fillna("").to_numpy()
+        ).sum()
+    )
+    bad += int(
+        (sres["hops"].fillna(-1).to_numpy() != exp["hops"].fillna(-1).to_numpy()).sum()
+    )
+    wall = time.monotonic() - t0
+    record(
+        "redirects_1m", bad == 0 and len(sres) == len(exp), wall,
+        f"{len(sres)} redirect srcs, max_hops={MAXH}, "
+        f"{int(exp['resolved'].sum())} resolved, {bad} mismatches",
+        engine_wall=te, oracle_wall=wall - te,
+    )
+
     with open(OUT, "w", encoding="utf-8") as f:
         json.dump({"num_vertices": NUM_V, "num_edges": m, "checks": results},
                   f, indent=2)
