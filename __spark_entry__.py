@@ -1893,6 +1893,60 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_sitemaps(urlsets.unionByName(index))
 
 
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness batching (pipeline/frontier.py) over a
+    16-host frontier with arithmetic priorities; the DuckDB twin runs
+    its own window. Rank ties are pinned by the (priority desc, url
+    asc) contract on both sides."""
+    from k2_18_spark.pipeline.frontier import frontier_schedule
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    urls = d.select(
+        F.concat(
+            F.lit("https://h"),
+            F.pmod(did, F.lit(16)).cast("string"),
+            F.lit(".example.org/page/"),
+            did.cast("string"),
+        ).alias("url"),
+        (F.pmod(did, F.lit(7)) / 10.0).alias("prio"),
+    )
+    return frontier_schedule(urls, per_host_limit=5, priority_col="prio").select(
+        "url", "host", F.col("host_rank").cast("long").alias("host_rank"), "batch"
+    )
+
+
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-to-crawl diff (pipeline/frontier.py): old = every doc with
+    fingerprint f{doc_id%50}; new drops doc_id%11==0 (gone), rewrites
+    the fingerprint for doc_id%13==0 (changed), and adds one novel URL
+    per doc_id%17==0. The DuckDB twin computes every status with its
+    own FULL OUTER JOIN."""
+    from k2_18_spark.pipeline.frontier import crawl_delta
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    url = F.concat(F.lit("u"), did.cast("string"))
+    fp = F.concat(F.lit("f"), F.pmod(did, F.lit(50)).cast("string"))
+    old = d.select(url.alias("url"), fp.alias("fingerprint"))
+    new = (
+        d.filter(F.pmod(did, F.lit(11)) != 0)
+        .select(
+            url.alias("url"),
+            F.when(F.pmod(did, F.lit(13)) == 0, F.concat(F.lit("g"), did.cast("string")))
+            .otherwise(fp)
+            .alias("fingerprint"),
+        )
+        .unionByName(
+            d.filter(F.pmod(did, F.lit(17)) == 0).select(
+                F.concat(F.lit("nu"), did.cast("string")).alias("url"),
+                F.lit("fresh").alias("fingerprint"),
+            )
+        )
+    )
+    return crawl_delta(old, new)
+
+
 def q_graph_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-citation pairs (Small 1973, AᵀA off-diagonals) on the directed
     variable-degree block graph, exact mode. Counts exact; jaccard and
@@ -2112,6 +2166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_seeded_labels": q_graph_seeded_labels,
         "graph_diameter": q_graph_diameter,
         "sitemap_parse": q_sitemap_parse,
+        "frontier_schedule": q_frontier_schedule,
+        "crawl_delta": q_crawl_delta,
         "graph_coupling": q_graph_coupling,
     }
 
@@ -4280,6 +4336,49 @@ def oracle_sql() -> dict[str, str]:
                    'https://h' || k || '.example.org/sitemap.xml',
                    NULL, NULL, NULL
             FROM (SELECT DISTINCT doc_id % 16 AS k FROM documents)
+        """,
+        "frontier_schedule": """
+            WITH u AS (
+                SELECT 'https://h' || (doc_id % 16) || '.example.org/page/'
+                           || doc_id AS url,
+                       'h' || (doc_id % 16) || '.example.org' AS host,
+                       (doc_id % 7) / 10.0 AS prio
+                FROM documents
+            ),
+            r AS (
+                SELECT url, host,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY host
+                           ORDER BY prio DESC, url ASC) AS BIGINT)
+                           AS host_rank
+                FROM u
+            )
+            SELECT url, host, host_rank,
+                   CAST((host_rank - 1) // 5 AS BIGINT) AS batch
+            FROM r
+        """,
+        "crawl_delta": """
+            WITH old AS (
+                SELECT 'u' || doc_id AS url,
+                       'f' || (doc_id % 50) AS fingerprint
+                FROM documents
+            ),
+            new AS (
+                SELECT 'u' || doc_id AS url,
+                       CASE WHEN doc_id % 13 = 0 THEN 'g' || doc_id
+                            ELSE 'f' || (doc_id % 50) END AS fingerprint
+                FROM documents WHERE doc_id % 11 <> 0
+                UNION ALL
+                SELECT 'nu' || doc_id, 'fresh'
+                FROM documents WHERE doc_id % 17 = 0
+            )
+            SELECT COALESCE(o.url, n.url) AS url,
+                   CASE WHEN o.url IS NULL THEN 'added'
+                        WHEN n.url IS NULL THEN 'gone'
+                        WHEN o.fingerprint = n.fingerprint THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   o.fingerprint AS old_fingerprint,
+                   n.fingerprint AS new_fingerprint
+            FROM old o FULL OUTER JOIN new n ON o.url = n.url
         """,
         "robots_verdicts": """
             SELECT 'https://h' || (doc_id % 8) || '.example.org'
