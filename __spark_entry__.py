@@ -1615,6 +1615,7 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from k2_18_spark.functions.urls import (
         canonical_url,
         registered_domain,
+        surt_key,
         url_depth,
     )
 
@@ -1625,6 +1626,7 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonical_url(messy).alias("canonical_url"),
         registered_domain(messy).alias("domain"),
         url_depth(messy).cast("long").alias("depth"),
+        surt_key(messy).alias("surt"),
     )
 
 
@@ -4232,7 +4234,16 @@ def oracle_sql() -> dict[str, str]:
                         ELSE d.labels[-2] || '.' || d.labels[-1] END
                        AS domain,
                    CAST(len(list_filter(string_split(c.path, '/'),
-                        x -> x <> '')) AS BIGINT) AS depth
+                        x -> x <> '')) AS BIGINT) AS depth,
+                   array_to_string(list_reverse(string_split(c.host, '.')),
+                       ',')
+                   || (CASE WHEN c.port = ''
+                            OR (c.scheme = 'http' AND c.port = '80')
+                            OR (c.scheme = 'https' AND c.port = '443')
+                        THEN '' ELSE ':' || c.port END)
+                   || ')' || c.path
+                   || (CASE WHEN c.cq = '' THEN '' ELSE '?' || c.cq END)
+                       AS surt
             FROM canon c JOIN dom d ON d.doc_id = c.doc_id
         """,
         # WARC round-trip: rebuild the RAW synthesized html (script/

@@ -132,6 +132,39 @@ def canonical_url(url: Column | str) -> Column:
     return F.when(_part(u, 1) == "", u).otherwise(canon)
 
 
+def surt_key(url: Column | str) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the CDX-
+    index form web archives sort and range-scan by: host labels
+    reversed and comma-joined, scheme dropped, then ``)`` + the
+    canonicalized path and query (same rules as :func:`canonical_url`:
+    default ports dropped, non-default kept, tracking params removed,
+    params byte-sorted, fragment dropped, empty path → ``/``).
+
+    ``https://www.Example.com/a?b=2&a=1`` → ``com,example,www)/a?a=1&b=2``
+
+    Prefix-scanning a SURT-sorted table by ``com,example,`` retrieves
+    every subdomain of example.com — the reason archives key on it.
+    Unparsable strings return ''."""
+    u = F.trim(_col(url))
+    scheme = F.lower(_part(u, 1))
+    host = F.lower(F.regexp_replace(_part(u, 2), r":\d+$", ""))
+    port = F.regexp_extract(_part(u, 2), r":(\d+)$", 1)
+    default = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when(
+        (port == "") | default, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = _part(u, 3)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = canonical_query(u)
+    q_part = F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
+    return F.when(_part(u, 1) == "", F.lit("")).otherwise(
+        F.concat(rev_host, port_part, F.lit(")"), path, q_part)
+    )
+
+
 def registered_domain(
     url_or_host: Column | str, extra_suffixes: tuple[str, ...] = ()
 ) -> Column:

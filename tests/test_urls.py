@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from k2_18_spark.functions.urls import (
     canonical_url,
+    surt_key,
     is_http_url,
     registered_domain,
     url_depth,
@@ -125,3 +126,25 @@ def test_canonical_idempotent(spark):
     ).collect()
     for r in rows:
         assert r["c1"] == r["c2"]
+
+
+@pytest.mark.parametrize(
+    "inp,want",
+    [
+        ("https://www.Example.com/a?b=2&a=1", "com,example,www)/a?a=1&b=2"),
+        ("http://sub.h.example.co.uk:8080/P", "uk,co,example,h,sub:8080)/P"),
+        ("https://a.com:443", "com,a)/"),
+        ("https://a.com/x#frag", "com,a)/x"),
+        ("not a url", ""),
+    ],
+)
+def test_surt_key(spark, inp, want):
+    assert _one(spark, surt_key(F.lit(inp))) == want
+
+
+def test_surt_prefix_groups_subdomains(spark):
+    urls = ["https://a.example.com/1", "https://b.example.com/2",
+            "https://example.org/3"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = [r["s"] for r in df.select(surt_key("url").alias("s")).collect()]
+    assert sum(s.startswith("com,example,") for s in rows) == 2
