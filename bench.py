@@ -318,6 +318,24 @@ def main() -> None:
             return host_edges(p_edges).count()
 
         extras["host_pairs"] = timed("host_rollup", run_hosts)
+
+        # -- WARC container round-trip (io/warc.py): serialize every
+        # synthesized page into an ISO-28500 response record (pure
+        # codegen), pack into .warc blobs, parse back with the Arrow-
+        # batched byte-walker — the fetch-side throughput number next
+        # to the extract-side pages_linkgraph above.
+        from k2_18_spark.io.warc import parse_warc, to_warc_records, warc_files
+        from k2_18_spark.pipeline.linkgraph import synth_pages
+
+        def run_warc():
+            pages = synth_pages(pdocs, pages_n)
+            files = warc_files(to_warc_records(pages), num_files=shuffle_parts)
+            return parse_warc(files).count()
+
+        extras["warc_records"] = timed("warc_roundtrip", run_warc)
+        extras["warc_pages_per_sec"] = round(
+            pages_n / timings["warc_roundtrip"], 1
+        )
         pdocs.unpersist()
 
     # -- embedding-dedup end-to-end on planted near-dup clusters
