@@ -33,6 +33,11 @@ from k2_18_spark.checkpoint import CheckpointStore
 from k2_18_spark.graph.adjacency import vertex_ids
 
 
+# supersteps executed by the most recent connected_components run
+# (observability for warm-start tests/bench, pagerank.LAST_RUN_ITERATIONS idiom)
+LAST_RUN_ITERATIONS = 0
+
+
 def connected_components(
     spark: SparkSession,
     edges: DataFrame,
@@ -41,6 +46,7 @@ def connected_components(
     job_name: str = "components",
     max_iter: int = 200,
     num_partitions: int | None = None,
+    init_labels: DataFrame | None = None,
 ) -> DataFrame:
     """→ DataFrame (id, component_id) with reference-exact numbering.
 
@@ -48,18 +54,31 @@ def connected_components(
     reference-exact renumbering; without it, ordering falls back to the
     lexicographic id (documented divergence: the reference renumbers by
     min *file position* — viz/graph2metrics.py:277-279).
+
+    ``init_labels``: a previous run's (id, component_id) output warm-
+    starts the min-label iteration after an edge delta — valid for
+    edge/vertex ADDITIONS only (old components are then subsets of new
+    ones, and min-of-mins = the true min, so the fixpoint is identical;
+    removals can split components, which a monotone-decreasing label
+    can never express — run cold after removals). New vertices absent
+    from ``init_labels`` start at their own label. The daily-crawl
+    companion of ``pagerank(init_ranks=...)``; an unchanged graph
+    re-converges in 1 superstep (the zero-change probe).
     """
     from k2_18_spark.session import superstep_conf
 
     with superstep_conf(spark):
         return _components_loop(
-            spark, edges, nodes, checkpoint_dir, job_name, max_iter, num_partitions
+            spark, edges, nodes, checkpoint_dir, job_name, max_iter,
+            num_partitions, init_labels,
         )
 
 
 def _components_loop(
-    spark, edges, nodes, checkpoint_dir, job_name, max_iter, num_partitions
+    spark, edges, nodes, checkpoint_dir, job_name, max_iter, num_partitions,
+    init_labels=None,
 ) -> DataFrame:
+    global LAST_RUN_ITERATIONS
     from k2_18_spark.graph.adjacency import dense_vertex_ids
 
     if nodes is not None and "node_order" in nodes.columns:
@@ -119,11 +138,30 @@ def _components_loop(
             if store.load_marker(last).get("converged"):
                 return _renumber(labels, verts)
             start_iter = last + 1
+    if labels is None and init_labels is not None:
+        # encode the previous assignment: every old component collapses
+        # to the min ORDER ID of its members under the new vertex set
+        prev = init_labels.select("id", F.col("component_id").alias("comp"))
+        tagged = verts.join(prev.hint("shuffle_hash"), "id", "left")
+        comp_min = (
+            tagged.filter(F.col("comp").isNotNull())
+            .groupBy("comp")
+            .agg(F.min("ord").alias("lab0"))
+        )
+        labels = (
+            tagged.join(comp_min.hint("shuffle_hash"), "comp", "left")
+            .select(
+                F.col("ord").alias("id"),
+                F.coalesce("lab0", "ord").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
     if labels is None:
         labels = verts.select(
             F.col("ord").alias("id"), F.col("ord").alias("label")
         ).localCheckpoint(eager=True)
 
+    LAST_RUN_ITERATIONS = 0
     for it in range(start_iter, max_iter):
         # shuffle_hash: hash the |V|-sized label vector, stream the
         # persisted symmetrized edges (no per-round sort of |2E| rows)
@@ -162,6 +200,7 @@ def _components_loop(
         )
         labels = new_labels.select("id", "label")
         prev_state.unpersist()  # release the prior superstep's blocks
+        LAST_RUN_ITERATIONS = it - start_iter + 1
         if changed == 0:
             if store is not None:
                 store.annotate(it, converged=True)

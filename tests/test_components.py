@@ -184,3 +184,46 @@ def test_components_kill_resume_mid_iteration(spark, tmp_ckpt):
     iters = {r["iteration"] for r in store.lineage().collect()}
     # iterations 0,1 from the killed run; the resumed run added ≥ 2
     assert {0, 1} <= iters and max(iters) >= 2
+
+
+# ---------------------------------------------------------------------------
+# warm-start (init_labels) after edge additions
+# ---------------------------------------------------------------------------
+
+
+def test_warm_start_identical_graph_one_superstep(spark):
+    from k2_18_spark.graph import components as comp_mod
+    from k2_18_spark.graph.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(f"V{i}", f"V{i+1}", "L", 1.0) for i in range(30) if i % 5 != 4],
+        "src_id string, dst_id string, edge_type string, weight double",
+    )
+    cold = connected_components(spark, edges)
+    cold_rows = {(r["id"], r["component_id"]) for r in cold.collect()}
+    cold_iters = comp_mod.LAST_RUN_ITERATIONS
+    warm = connected_components(spark, edges, init_labels=cold)
+    assert {(r["id"], r["component_id"]) for r in warm.collect()} == cold_rows
+    assert comp_mod.LAST_RUN_ITERATIONS == 1  # zero-change probe only
+    assert cold_iters > 1
+
+
+def test_warm_start_after_merge_matches_cold(spark):
+    from k2_18_spark.graph import components as comp_mod
+    from k2_18_spark.graph.components import connected_components
+
+    # 6 chains of 5; delta bridges chains 0-1 and 2-3 and adds a new
+    # vertex pair untouched by the old assignment
+    base = [(f"V{i}", f"V{i+1}", "L", 1.0) for i in range(30) if i % 5 != 4]
+    delta = [("V4", "V5", "L", 1.0), ("V14", "V15", "L", 1.0),
+             ("N1", "N2", "L", 1.0)]
+    schema = "src_id string, dst_id string, edge_type string, weight double"
+    old = connected_components(spark, spark.createDataFrame(base, schema))
+    new_edges = spark.createDataFrame(base + delta, schema)
+    cold = connected_components(spark, new_edges)
+    cold_rows = {(r["id"], r["component_id"]) for r in cold.collect()}
+    cold_iters = comp_mod.LAST_RUN_ITERATIONS
+    warm = connected_components(spark, new_edges, init_labels=old)
+    warm_iters = comp_mod.LAST_RUN_ITERATIONS
+    assert {(r["id"], r["component_id"]) for r in warm.collect()} == cold_rows
+    assert warm_iters < cold_iters
