@@ -177,6 +177,7 @@ def _loop(
             .filter(~F.col("n.label").eqNullSafe(F.col("o.label")))
             .count()
         )
+        state.unpersist()  # release the prior superstep's checkpoint blocks
         state = new_state
         LAST_RUN_ROUNDS = it - start_iter + 1
         if store is not None:

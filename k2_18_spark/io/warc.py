@@ -138,12 +138,15 @@ def warc_files(records: DataFrame, num_files: int) -> DataFrame:
 
         pid = TaskContext.get().partitionId()
         for b in batches:
-            if len(b):
+            # NULL records (a NULL payload serializes to a NULL record)
+            # are skipped, not crashed on — n_records counts real ones
+            blobs = [bytes(x) for x in b["warc_record"] if x is not None]
+            if blobs:
                 yield pd.DataFrame(
                     {
                         "file_id": [pid],
-                        "n_records": [len(b)],
-                        "data": [b"".join(bytes(x) for x in b["warc_record"])],
+                        "n_records": [len(blobs)],
+                        "data": [b"".join(blobs)],
                     }
                 )
 
