@@ -278,6 +278,23 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(spark, _graph_edges(spark, sf_dir))
 
 
+def q_graph_components_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start components (components.py init_labels=, the
+    incremental-crawl path): yesterday's crawl = the chain graph with
+    only the first 60 of each 80 chain links, today's = the full chain
+    graph; the warm run seeds min-label iteration from yesterday's
+    assignment and MUST reach the identical fixpoint the cold
+    transitive-closure oracle computes (min-of-mins argument in the
+    docstring). Renumbering is the standard T6 contract either way."""
+    from k2_18_spark.graph.components import connected_components
+
+    full = _doc_chain_edges(spark, sf_dir)
+    src_num = F.regexp_extract("src_id", r"(\d+)", 1).cast("long")
+    old_edges = full.filter(F.pmod(src_num, F.lit(100)) < 60)
+    old_assign = connected_components(spark, old_edges)
+    return connected_components(spark, full, init_labels=old_assign)
+
+
 def q_graph_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from k2_18_spark.graph.components import connected_components
 
@@ -2101,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
         "graph_components": q_graph_components,
+        "graph_components_warm": q_graph_components_warm,
         "graph_components_chain": q_graph_components_chain,
         "graph_components_star": q_graph_components_star,
         "graph_lpa": q_graph_lpa,
@@ -3042,6 +3060,10 @@ def oracle_sql() -> dict[str, str]:
         "co_supplier_edges": _CO_SUPPLIER_SQL,
         "graph_pagerank": _PAGERANK_ORACLE.format(edges_sql=_CO_SUPPLIER_SQL),
         "graph_components": _COMPONENTS_ORACLE.format(edges_sql=_CO_SUPPLIER_SQL),
+        # warm start must land on the SAME fixpoint as the cold oracle
+        "graph_components_warm": _COMPONENTS_ORACLE.format(
+            edges_sql=_DOC_CHAIN_SQL
+        ),
         "graph_components_chain": _COMPONENTS_ORACLE.format(
             edges_sql=_DOC_CHAIN_SQL
         ),
