@@ -1425,6 +1425,35 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance (graph/stats.py:conductance_by_
+    community, nx.algorithms.cuts semantics) under the same suppkey%8
+    clustering as graph_modularity — the cut-quality complement. The
+    DuckDB twin replicates the cluster-pair rollup + min-side division
+    independently; values rounded to 6 dp on both sides."""
+    from k2_18_spark.graph.stats import conductance_by_community
+
+    edges = _graph_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src_id").alias("id"))
+        .union(edges.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
+    clusters = verts.select(
+        "id",
+        F.pmod(F.expr("CAST(substring(id, 2) AS BIGINT)"), F.lit(8))
+        .cast("int")
+        .alias("cluster_id"),
+    )
+    out = conductance_by_community(spark, edges, clusters)
+    return out.select(
+        "cluster_id",
+        F.round("cut_w", 6).alias("cut_w"),
+        F.round("volume", 6).alias("volume"),
+        F.round("conductance", 6).alias("conductance"),
+    )
+
+
 def q_graph_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eigenvector centrality (Bonacich; power iteration on A^T + I,
     L2-normalized — nx.eigenvector_centrality semantics), 20 fixed
@@ -2166,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "graph_eigenvector": q_graph_eigenvector,
         "graph_modularity": q_graph_modularity,
+        "graph_conductance": q_graph_conductance,
         "graph_louvain_moves": q_graph_louvain_moves,
         "graph_kcore": q_graph_kcore,
         "graph_ktruss": q_graph_ktruss,
@@ -3939,6 +3969,48 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ins i USING (cluster_id)
             LEFT JOIN intra i2 USING (cluster_id)
             CROSS JOIN mm
+        """,
+        "graph_conductance": f"""
+            WITH e0 AS MATERIALIZED ({_CO_SUPPLIER_SQL}),
+            e AS MATERIALIZED (
+                SELECT src_id, dst_id, SUM(weight) AS w FROM e0 GROUP BY 1, 2
+            ),
+            verts AS (
+                SELECT DISTINCT id FROM (
+                    SELECT src_id AS id FROM e UNION ALL SELECT dst_id FROM e
+                )
+            ),
+            cm AS (
+                SELECT id, CAST(substring(id, 2) AS BIGINT) % 8 AS cluster_id
+                FROM verts
+            ),
+            tag AS MATERIALIZED (
+                SELECT c1.cluster_id AS cs, c2.cluster_id AS cd, e.w
+                FROM e
+                JOIN cm c1 ON e.src_id = c1.id
+                JOIN cm c2 ON e.dst_id = c2.id
+            ),
+            tot AS (SELECT SUM(w) * 2 AS tv FROM tag),
+            vol AS (
+                SELECT cluster_id, SUM(w) AS volume FROM (
+                    SELECT cs AS cluster_id, w FROM tag
+                    UNION ALL SELECT cd, w FROM tag
+                ) GROUP BY 1
+            ),
+            cut AS (
+                SELECT cluster_id, SUM(w) AS cut_w FROM (
+                    SELECT cs AS cluster_id, w FROM tag WHERE cs <> cd
+                    UNION ALL SELECT cd, w FROM tag WHERE cs <> cd
+                ) GROUP BY 1
+            )
+            SELECT CAST(v.cluster_id AS INT) AS cluster_id,
+                   ROUND(COALESCE(c.cut_w, 0.0), 6) AS cut_w,
+                   ROUND(v.volume, 6) AS volume,
+                   ROUND(COALESCE(c.cut_w, 0.0)
+                         / (CASE WHEN LEAST(v.volume, tot.tv - v.volume) > 0
+                             THEN LEAST(v.volume, tot.tv - v.volume) END),
+                         6) AS conductance
+            FROM vol v LEFT JOIN cut c USING (cluster_id) CROSS JOIN tot
         """,
         "graph_louvain_moves": _louvain_oracle(_CO_SUPPLIER_SQL, rounds=6),
         "graph_kcore": _kcore_oracle_sql(_KCORE_EDGES_SQL, k=3),

@@ -213,6 +213,91 @@ def modularity_by_community(
     return out
 
 
+def conductance_by_community(
+    spark: SparkSession,
+    edges: DataFrame,
+    clusters: DataFrame,
+) -> DataFrame:
+    """Per-community conductance → (cluster_id, cut_w, volume,
+    conductance) — the cut-quality complement of
+    :func:`modularity_by_community` (low conductance = a well-separated
+    community; the objective spectral/Fiedler partitioning minimizes).
+
+    Semantics (nx.algorithms.cuts.conductance, reimplemented): the
+    edge table is an undirected weighted multigraph — parallel
+    (src, dst) rows sum; each row adds w to BOTH endpoint degrees (a
+    self-loop adds 2w to its vertex, nx degree semantics);
+    ``cut_w(c)`` = total weight of edges with exactly one endpoint in
+    c; ``volume(c)`` = Σ deg(v∈c);
+    ``conductance = cut_w / min(volume, total_volume − volume)``
+    (NULL for an empty or whole-graph side, where nx raises).
+
+    Plan: identical to modularity — weight-collapse, two shuffle-hash
+    community tag joins, ONE cluster-pair groupBy; everything after is
+    O(distinct cluster pairs). Vertices missing from ``clusters``
+    drop with their edges (pass a total clustering)."""
+    w = F.col("weight") if "weight" in edges.columns else F.lit(1.0)
+    e = (
+        edges.select(
+            F.col("src_id").alias("src"),
+            F.col("dst_id").alias("dst"),
+            w.cast("double").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    cm = clusters.select(F.col("id"), F.col("cluster_id"))
+    tagged = (
+        e.join(
+            cm.select(F.col("id").alias("src"), F.col("cluster_id").alias("c_src")),
+            "src",
+        )
+        .join(
+            cm.select(F.col("id").alias("dst"), F.col("cluster_id").alias("c_dst")),
+            "dst",
+        )
+        .groupBy("c_src", "c_dst")
+        .agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    total_vol = (tagged.agg(F.sum(F.col("w") * 2)).collect()[0][0]) or 0.0
+    vol = (
+        tagged.select(F.col("c_src").alias("cluster_id"), "w")
+        .unionByName(tagged.select(F.col("c_dst").alias("cluster_id"), "w"))
+        .groupBy("cluster_id")
+        .agg(F.sum("w").alias("volume"))
+    )
+    cut = (
+        tagged.filter(F.col("c_src") != F.col("c_dst"))
+        .select(F.col("c_src").alias("cluster_id"), "w")
+        .unionByName(
+            tagged.filter(F.col("c_src") != F.col("c_dst")).select(
+                F.col("c_dst").alias("cluster_id"), "w"
+            )
+        )
+        .groupBy("cluster_id")
+        .agg(F.sum("w").alias("cut_w"))
+    )
+    out = (
+        vol.join(cut, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.coalesce("cut_w", F.lit(0.0)).alias("cut_w"),
+            "volume",
+            (
+                F.coalesce("cut_w", F.lit(0.0))
+                / F.when(
+                    F.least(F.col("volume"), F.lit(total_vol) - F.col("volume"))
+                    > 0,
+                    F.least(F.col("volume"), F.lit(total_vol) - F.col("volume")),
+                )
+            ).alias("conductance"),
+        )
+    )
+    tagged.unpersist()
+    return out
+
+
 def modularity(
     spark: SparkSession,
     edges: DataFrame,
