@@ -1454,6 +1454,19 @@ def q_graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (graph/katz.py; nx.katz_centrality semantics,
+    x' = alpha·Aᵀx + beta from x=0), 12 fixed rounds on the co-supplier
+    graph, one final L2 norm — the DuckDB twin runs the identical
+    recursive-CTE iteration and window norm."""
+    from k2_18_spark.graph.katz import katz_centrality
+
+    out = katz_centrality(
+        spark, _graph_edges(spark, sf_dir), alpha=0.1, beta=1.0, fixed_iter=12
+    )
+    return out.select("id", F.round("katz_centrality", 6).alias("katz"))
+
+
 def q_graph_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eigenvector centrality (Bonacich; power iteration on A^T + I,
     L2-normalized — nx.eigenvector_centrality semantics), 20 fixed
@@ -2196,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_eigenvector": q_graph_eigenvector,
         "graph_modularity": q_graph_modularity,
         "graph_conductance": q_graph_conductance,
+        "graph_katz": q_graph_katz,
         "graph_louvain_moves": q_graph_louvain_moves,
         "graph_kcore": q_graph_kcore,
         "graph_ktruss": q_graph_ktruss,
@@ -4011,6 +4025,33 @@ def oracle_sql() -> dict[str, str]:
                              THEN LEAST(v.volume, tot.tv - v.volume) END),
                          6) AS conductance
             FROM vol v LEFT JOIN cut c USING (cluster_id) CROSS JOIN tot
+        """,
+        "graph_katz": f"""
+            WITH RECURSIVE
+            e0 AS MATERIALIZED ({_CO_SUPPLIER_SQL}),
+            e AS MATERIALIZED (
+                SELECT src_id, dst_id, SUM(weight) AS w FROM e0 GROUP BY 1, 2
+            ),
+            verts AS MATERIALIZED (
+                SELECT DISTINCT id FROM (
+                    SELECT src_id AS id FROM e UNION ALL SELECT dst_id FROM e
+                )
+            ),
+            st(iter, id, x) AS (
+                SELECT 0, id, CAST(0.0 AS DOUBLE) FROM verts
+                UNION ALL
+                SELECT p.iter + 1, p.id,
+                       0.1 * COALESCE(c.c, CAST(0.0 AS DOUBLE)) + 1.0
+                FROM st p
+                LEFT JOIN (
+                    SELECT p2.iter, e.dst_id AS id, SUM(p2.x * e.w) AS c
+                    FROM st p2 JOIN e ON p2.id = e.src_id
+                    GROUP BY 1, 2
+                ) c ON c.id = p.id AND c.iter = p.iter
+                WHERE p.iter < 12
+            )
+            SELECT id, ROUND(x / SQRT(SUM(x * x) OVER ()), 6) AS katz
+            FROM st WHERE iter = 12
         """,
         "graph_louvain_moves": _louvain_oracle(_CO_SUPPLIER_SQL, rounds=6),
         "graph_kcore": _kcore_oracle_sql(_KCORE_EDGES_SQL, k=3),

@@ -70,6 +70,13 @@ def main() -> None:
         app_name="k2_18_bench",
         master=f"local[{cpus}]",
         shuffle_partitions=shuffle_parts,
+        # the per-query shuffle-MB metric sums shuffleWriteBytes over
+        # the status store's stage list; the default retainedStages
+        # (1000) EVICTS old stages once the iterative workloads pass
+        # ~3000 stages, making the cumulative counter go backwards
+        # (observed as negative per-query deltas). Retain enough for
+        # the whole bench run.
+        extra_conf={"spark.ui.retainedStages": "100000"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
