@@ -1467,6 +1467,56 @@ def q_graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("katz_centrality", 6).alias("katz"))
 
 
+def q_graph_bridge_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 bridge score (operators/graph_ops.py:bridge_scores, reference
+    viz/graph2metrics.py:514-578): w_b·betweenness + (1−w_b)·inter-
+    cluster neighbor ratio, on the co-supplier graph with the suppkey%8
+    clustering and a deterministic arithmetic stand-in for the
+    betweenness column (its values are G6's job — this row verifies the
+    neighbor-pair ratio + blend). The DuckDB twin rebuilds the distinct
+    undirected neighbor pairs and the AVG(cross-cluster) ratio
+    independently."""
+    from k2_18_spark.operators.graph_ops import bridge_scores
+
+    edges = _graph_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src_id").alias("id"))
+        .union(edges.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
+    key = F.expr("CAST(substring(id, 2) AS BIGINT)")
+    clusters = verts.select(
+        "id", F.pmod(key, F.lit(8)).cast("int").alias("cluster_id")
+    )
+    btw = verts.select(
+        "id", (F.pmod(key * 7, F.lit(13)) / 13.0).alias("betweenness_centrality")
+    )
+    out = bridge_scores(edges, clusters, btw, w_b=0.7)
+    return out.select("id", F.round("bridge_score", 6).alias("bridge_score"))
+
+
+def q_top_node_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 max-rank representative per cluster (pipeline/paths.py:
+    top_node_per_cluster; reference viz/graph2metrics.py:1582-1610)
+    under an arithmetic rank with planted ties, so the (rank desc,
+    id asc) tie-break is what the row actually checks."""
+    from k2_18_spark.pipeline.paths import top_node_per_cluster
+
+    edges = _graph_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src_id").alias("id"))
+        .union(edges.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
+    key = F.expr("CAST(substring(id, 2) AS BIGINT)")
+    metrics = verts.select(
+        "id",
+        F.pmod(key, F.lit(8)).cast("int").alias("cluster_id"),
+        (F.pmod(key, F.lit(5)) / 5.0).alias("pagerank"),  # ties by design
+    )
+    return top_node_per_cluster(metrics)
+
+
 def q_graph_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eigenvector centrality (Bonacich; power iteration on A^T + I,
     L2-normalized — nx.eigenvector_centrality semantics), 20 fixed
@@ -2210,6 +2260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": q_graph_modularity,
         "graph_conductance": q_graph_conductance,
         "graph_katz": q_graph_katz,
+        "graph_bridge_scores": q_graph_bridge_scores,
+        "top_node_per_cluster": q_top_node_per_cluster,
         "graph_louvain_moves": q_graph_louvain_moves,
         "graph_kcore": q_graph_kcore,
         "graph_ktruss": q_graph_ktruss,
@@ -4052,6 +4104,57 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, ROUND(x / SQRT(SUM(x * x) OVER ()), 6) AS katz
             FROM st WHERE iter = 12
+        """,
+        "graph_bridge_scores": f"""
+            WITH e0 AS MATERIALIZED ({_CO_SUPPLIER_SQL}),
+            verts AS MATERIALIZED (
+                SELECT DISTINCT id FROM (
+                    SELECT src_id AS id FROM e0 UNION ALL SELECT dst_id FROM e0
+                )
+            ),
+            nbrs AS (
+                SELECT DISTINCT id, nbr FROM (
+                    SELECT src_id AS id, dst_id AS nbr FROM e0
+                    UNION ALL SELECT dst_id, src_id FROM e0
+                ) WHERE id <> nbr
+            ),
+            cm AS (
+                SELECT id, CAST(substring(id, 2) AS BIGINT) % 8 AS c FROM verts
+            ),
+            ratio AS (
+                SELECT n.id,
+                       AVG(CASE WHEN c1.c <> c2.c THEN 1.0 ELSE 0.0 END) AS r
+                FROM nbrs n
+                JOIN cm c1 ON c1.id = n.id
+                JOIN cm c2 ON c2.id = n.nbr
+                GROUP BY 1
+            )
+            SELECT v.id,
+                   ROUND(0.7 * ((CAST(substring(v.id, 2) AS BIGINT) * 7) % 13
+                                / 13.0)
+                         + 0.3 * COALESCE(ratio.r, 0.0), 6) AS bridge_score
+            FROM verts v LEFT JOIN ratio ON ratio.id = v.id
+        """,
+        "top_node_per_cluster": f"""
+            WITH e0 AS MATERIALIZED ({_CO_SUPPLIER_SQL}),
+            verts AS (
+                SELECT DISTINCT id FROM (
+                    SELECT src_id AS id FROM e0 UNION ALL SELECT dst_id FROM e0
+                )
+            ),
+            m AS (
+                SELECT id,
+                       CAST(CAST(substring(id, 2) AS BIGINT) % 8 AS INT)
+                           AS cluster_id,
+                       (CAST(substring(id, 2) AS BIGINT) % 5) / 5.0
+                           AS pagerank
+                FROM verts
+            )
+            SELECT id, cluster_id, pagerank FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                    ORDER BY pagerank DESC, id ASC) AS rn
+                FROM m
+            ) WHERE rn = 1
         """,
         "graph_louvain_moves": _louvain_oracle(_CO_SUPPLIER_SQL, rounds=6),
         "graph_kcore": _kcore_oracle_sql(_KCORE_EDGES_SQL, k=3),
