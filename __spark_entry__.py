@@ -1,11 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 Each ``queries()`` entry is an implemented operator from SURVEY.md §2
-(or a training-data-pipeline addition); ``oracle_sql()`` provides the
-DuckDB-equivalent ANSI SQL for the SQL-expressible ones. Iterative
-graph algorithms (PageRank / components / LPA) and engine-hash-specific
-ops (MinHash, SimHash) have no SQL oracle → rows-only checks; their
-correctness gate is the golden-fixture pytest suite (tests/).
+(or a web-scale addition); ``oracle_sql()`` provides an exact DuckDB
+twin for EVERY entry — iterative algorithms as recursive-CTE /
+unrolled-trajectory replicas, hash-based ops bridged through md5, and
+pipeline outputs regenerated arithmetically from the deterministic
+synthesis rules. The golden-fixture pytest suite (tests/) is the
+second, independent gate.
 """
 
 from __future__ import annotations
