@@ -1518,6 +1518,27 @@ def q_top_node_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_node_per_cluster(metrics)
 
 
+def q_graph_seeded_labels_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded LPA, UNDIRECTED mode (U2 projection; at weight 1.0 the
+    parallel-edge collapse is plain DISTINCT, so the DuckDB twin
+    mirrors canonical pairs and unrolls the same 5 synchronous rounds).
+    Seeds every 40th doc; labels spread both ways along the chain
+    graph, unlike the directed row above."""
+    from k2_18_spark.graph.seeded_lpa import seeded_label_propagation
+
+    edges = _doc_chain_edges(spark, sf_dir)
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    seeds = d.filter(F.pmod("doc_id", F.lit(40)) == 0).select(
+        F.concat(F.lit("D"), F.col("doc_id")).alias("id"),
+        F.concat(
+            F.lit("L"), F.pmod(F.col("doc_id") / 40, F.lit(4)).cast("int")
+        ).alias("label"),
+    )
+    return seeded_label_propagation(
+        spark, edges, seeds, max_iter=5, directed=False
+    )
+
+
 def q_graph_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eigenvector centrality (Bonacich; power iteration on A^T + I,
     L2-normalized — nx.eigenvector_centrality semantics), 20 fixed
@@ -2281,6 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "robots_verdicts": q_robots_verdicts,
         "graph_seeded_labels": q_graph_seeded_labels,
+        "graph_seeded_labels_und": q_graph_seeded_labels_und,
         "graph_diameter": q_graph_diameter,
         "sitemap_parse": q_sitemap_parse,
         "frontier_schedule": q_frontier_schedule,
@@ -4532,6 +4554,134 @@ def oracle_sql() -> dict[str, str]:
             FROM raw
         """,
         "graph_seeded_labels": _seeded_lpa_oracle_sql(_KCORE_EDGES_SQL),
+        "graph_seeded_labels_und": f"""
+            WITH raw AS MATERIALIZED ({_DOC_CHAIN_SQL}),
+            und AS MATERIALIZED (
+                SELECT DISTINCT LEAST(src_id, dst_id) AS a,
+                       GREATEST(src_id, dst_id) AS b
+                FROM raw WHERE src_id <> dst_id
+            ),
+            e AS MATERIALIZED (
+                SELECT a AS src_id, b AS dst_id, CAST(1.0 AS DOUBLE) AS weight
+                FROM und
+                UNION ALL
+                SELECT b, a, CAST(1.0 AS DOUBLE) FROM und
+            ),
+            seeds AS MATERIALIZED (
+                SELECT 'D' || doc_id AS id,
+                       'L' || ((doc_id // 40) % 4) AS label
+                FROM documents WHERE doc_id % 40 = 0
+            ),
+            verts AS MATERIALIZED (
+                SELECT DISTINCT id FROM (
+                    SELECT src_id AS id FROM e
+                    UNION ALL SELECT dst_id FROM e
+                    UNION ALL SELECT id FROM seeds
+                )
+            ),
+            s0 AS MATERIALIZED (
+                SELECT v.id, seeds.label,
+                       (seeds.label IS NOT NULL) AS is_seed
+                FROM verts v LEFT JOIN seeds ON seeds.id = v.id
+            ), v1 AS (
+            SELECT e.dst_id AS id, s.label, SUM(e.weight) AS w
+            FROM e JOIN s0 s ON s.id = e.src_id
+            WHERE s.label IS NOT NULL GROUP BY 1, 2
+        ),
+        a1 AS (
+            SELECT id, label AS lab FROM (
+                SELECT id, label,
+                       RANK() OVER (PARTITION BY id
+                                    ORDER BY w DESC, label ASC) AS rk
+                FROM v1
+            ) WHERE rk = 1
+        ),
+        s1 AS MATERIALIZED (
+            SELECT s.id,
+                   CASE WHEN s.is_seed THEN s.label
+                        ELSE COALESCE(a.lab, s.label) END AS label,
+                   s.is_seed
+            FROM s0 s LEFT JOIN a1 a ON a.id = s.id
+        ), v2 AS (
+            SELECT e.dst_id AS id, s.label, SUM(e.weight) AS w
+            FROM e JOIN s1 s ON s.id = e.src_id
+            WHERE s.label IS NOT NULL GROUP BY 1, 2
+        ),
+        a2 AS (
+            SELECT id, label AS lab FROM (
+                SELECT id, label,
+                       RANK() OVER (PARTITION BY id
+                                    ORDER BY w DESC, label ASC) AS rk
+                FROM v2
+            ) WHERE rk = 1
+        ),
+        s2 AS MATERIALIZED (
+            SELECT s.id,
+                   CASE WHEN s.is_seed THEN s.label
+                        ELSE COALESCE(a.lab, s.label) END AS label,
+                   s.is_seed
+            FROM s1 s LEFT JOIN a2 a ON a.id = s.id
+        ), v3 AS (
+            SELECT e.dst_id AS id, s.label, SUM(e.weight) AS w
+            FROM e JOIN s2 s ON s.id = e.src_id
+            WHERE s.label IS NOT NULL GROUP BY 1, 2
+        ),
+        a3 AS (
+            SELECT id, label AS lab FROM (
+                SELECT id, label,
+                       RANK() OVER (PARTITION BY id
+                                    ORDER BY w DESC, label ASC) AS rk
+                FROM v3
+            ) WHERE rk = 1
+        ),
+        s3 AS MATERIALIZED (
+            SELECT s.id,
+                   CASE WHEN s.is_seed THEN s.label
+                        ELSE COALESCE(a.lab, s.label) END AS label,
+                   s.is_seed
+            FROM s2 s LEFT JOIN a3 a ON a.id = s.id
+        ), v4 AS (
+            SELECT e.dst_id AS id, s.label, SUM(e.weight) AS w
+            FROM e JOIN s3 s ON s.id = e.src_id
+            WHERE s.label IS NOT NULL GROUP BY 1, 2
+        ),
+        a4 AS (
+            SELECT id, label AS lab FROM (
+                SELECT id, label,
+                       RANK() OVER (PARTITION BY id
+                                    ORDER BY w DESC, label ASC) AS rk
+                FROM v4
+            ) WHERE rk = 1
+        ),
+        s4 AS MATERIALIZED (
+            SELECT s.id,
+                   CASE WHEN s.is_seed THEN s.label
+                        ELSE COALESCE(a.lab, s.label) END AS label,
+                   s.is_seed
+            FROM s3 s LEFT JOIN a4 a ON a.id = s.id
+        ), v5 AS (
+            SELECT e.dst_id AS id, s.label, SUM(e.weight) AS w
+            FROM e JOIN s4 s ON s.id = e.src_id
+            WHERE s.label IS NOT NULL GROUP BY 1, 2
+        ),
+        a5 AS (
+            SELECT id, label AS lab FROM (
+                SELECT id, label,
+                       RANK() OVER (PARTITION BY id
+                                    ORDER BY w DESC, label ASC) AS rk
+                FROM v5
+            ) WHERE rk = 1
+        ),
+        s5 AS MATERIALIZED (
+            SELECT s.id,
+                   CASE WHEN s.is_seed THEN s.label
+                        ELSE COALESCE(a.lab, s.label) END AS label,
+                   s.is_seed
+            FROM s4 s LEFT JOIN a5 a ON a.id = s.id
+        )
+            SELECT id, label, is_seed FROM s5
+        """,
+
         "graph_diameter": f"""
             WITH RECURSIVE raw AS MATERIALIZED ({_KCORE_EDGES_SQL}),
             he AS MATERIALIZED (
