@@ -47,7 +47,7 @@ PAGES_N = int(os.environ.get("SCALE_PAGES_N", "400000"))
 PAGE_REPEAT = int(os.environ.get("SCALE_PAGE_REPEAT", "8"))
 SHUFFLE_PARTS = int(os.environ.get("BENCH_SHUFFLE_PARTITIONS", "64"))
 
-ALL_WORKLOADS = ["pagerank", "components", "lpa", "triangles", "pages"]
+ALL_WORKLOADS = ["pagerank", "components", "lpa", "triangles", "pages", "warc"]
 #: SCALE_WORKLOADS="pages" (comma list) restricts a run — short
 #: single-workload legs land many more samples in quiet windows, which
 #: is how the minima converge on a bursty shared box.
@@ -121,7 +121,7 @@ def run_leg(cpus: int) -> dict[str, float]:
 
             adj.unpersist(), edges.unpersist(), nodes.unpersist()
 
-        if "pages" not in WORKLOADS:
+        if "pages" not in WORKLOADS and "warc" not in WORKLOADS:
             return {k: round(v, 2) for k, v in walls.items()}
         pdocs = (
             spark.range(PAGES_N)
@@ -145,10 +145,28 @@ def run_leg(cpus: int) -> dict[str, float]:
         # warmup: spawn the Python workers / Arrow path before timing
         _, w_edges = pages_link_pipeline(spark, pdocs.limit(2000), 2000)
         w_edges.count()
-        t0 = time.monotonic()
-        _, p_edges = pages_link_pipeline(spark, pdocs, PAGES_N)
-        p_edges.count()
-        walls["pages"] = time.monotonic() - t0
+        if "pages" in WORKLOADS:
+            t0 = time.monotonic()
+            _, p_edges = pages_link_pipeline(spark, pdocs, PAGES_N)
+            p_edges.count()
+            walls["pages"] = time.monotonic() - t0
+        if "warc" in WORKLOADS:
+            # fetch-side container round-trip: codegen serialize +
+            # Python-worker byte-walking parse — the second cleanly
+            # CPU-bound workload class (io/warc.py)
+            from k2_18_spark.io.warc import (
+                parse_warc,
+                to_warc_records,
+                warc_files,
+            )
+            from k2_18_spark.pipeline.linkgraph import synth_pages
+
+            t0 = time.monotonic()
+            wpages = synth_pages(pdocs, PAGES_N)
+            parse_warc(
+                warc_files(to_warc_records(wpages), num_files=SHUFFLE_PARTS)
+            ).count()
+            walls["warc"] = time.monotonic() - t0
         pdocs.unpersist()
     finally:
         spark.stop()
