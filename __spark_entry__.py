@@ -1953,6 +1953,34 @@ def q_graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pseudo_diameter(spark, _kcore_edges(spark, sf_dir))
 
 
+def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk corpus (graph/walks.py) on the block
+    graph: 2 walks × 8 steps from every vertex with an out-edge,
+    md5-argmin step rule (min over md5(seed|walk_id|step|dst) with the
+    candidate id as tie-break). The DuckDB twin unrolls the 8 steps as
+    chained argmin CTEs — ``min(md5(...) || dst)`` ranks identically
+    to the engine's ``min(struct(key, dst))`` because the hex digest
+    is fixed-width — and rebuilds each walk with an ordered list
+    aggregate, so every hop of every one of the ~960 walks is
+    value-checked, including early termination at dangling block-tail
+    vertices."""
+    from k2_18_spark.graph.walks import random_walks
+
+    w = random_walks(
+        spark,
+        _kcore_edges(spark, sf_dir),
+        walk_length=8,
+        num_walks=2,
+        seed="wseed",
+    )
+    return w.select(
+        "walk_id",
+        "start_id",
+        F.array_join("seq", ">").alias("path"),
+        "length",
+    )
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap XML parsing (functions/sitemap.py): build one <urlset>
     per host h{0..15} with an entry per doc (lastmod/changefreq/
@@ -2304,6 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_seeded_labels": q_graph_seeded_labels,
         "graph_seeded_labels_und": q_graph_seeded_labels_und,
         "graph_diameter": q_graph_diameter,
+        "graph_walks": q_graph_walks,
         "sitemap_parse": q_sitemap_parse,
         "frontier_schedule": q_frontier_schedule,
         "crawl_delta": q_crawl_delta,
@@ -2314,6 +2343,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+# unrolled argmin step CTEs for the graph_walks oracle: step t picks
+# min(md5('wseed|' walk_id '|' t '|' dst) || dst) — the 32-hex digest is
+# fixed-width, so string order == the engine's (key, dst) struct order
+_WALK_STEPS_SQL = "\n".join(
+    f"""            s{t} AS (
+                SELECT p.walk_id,
+                       substr(min(md5('wseed|' || p.walk_id || '|{t}|' || e.t)
+                                  || e.t), 33) AS cur
+                FROM s{t - 1} p JOIN e ON p.cur = e.s GROUP BY p.walk_id
+            ),"""
+    for t in range(1, 9)
+)
+_WALK_UNION_SQL = "\n".join(
+    f"                UNION ALL SELECT walk_id, {t}, cur FROM s{t}"
+    for t in range(1, 9)
+)
 
 # -- iterative graph oracles ------------------------------------------------
 # DuckDB 1.0 recursive-CTE notes (empirically verified):
@@ -4682,6 +4728,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, label, is_seed FROM s5
         """,
 
+        "graph_walks": f"""
+            WITH raw AS MATERIALIZED ({_KCORE_EDGES_SQL}),
+            e AS MATERIALIZED (
+                SELECT DISTINCT src_id AS s, dst_id AS t FROM raw
+                WHERE src_id <> dst_id
+            ),
+            s0 AS (
+                SELECT v.id || '#' || w.k AS walk_id, v.id AS cur
+                FROM (SELECT DISTINCT s AS id FROM e) v
+                CROSS JOIN (VALUES (0), (1)) w(k)
+            ),
+{_WALK_STEPS_SQL}
+            steps AS (
+                SELECT walk_id, 0 AS st, cur FROM s0
+{_WALK_UNION_SQL}
+            )
+            SELECT walk_id,
+                   split_part(walk_id, '#', 1) AS start_id,
+                   array_to_string(list(cur ORDER BY st), '>') AS path,
+                   CAST(COUNT(*) AS INT) AS length
+            FROM steps GROUP BY walk_id
+        """,
         "graph_diameter": f"""
             WITH RECURSIVE raw AS MATERIALIZED ({_KCORE_EDGES_SQL}),
             he AS MATERIALIZED (

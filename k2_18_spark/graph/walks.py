@@ -1,0 +1,165 @@
+"""Deterministic random-walk corpus generation (DeepWalk-style).
+
+At web scale the walk corpus IS the training input for graph
+embeddings: DeepWalk / node2vec (p = q = 1) sample ``num_walks``
+truncated walks of length ``walk_length`` from every start vertex and
+feed the node sequences to a skip-gram model. The reference's concept
+graph has no walk sampler (its NetworkX metrics stop at centralities,
+`viz/graph2metrics.py`); this operator is the scale-path addition that
+turns the link graph into an embedding-training corpus.
+
+Randomness is hash-derived, not RNG-state-derived: the step from
+``cur`` along candidate edge ``(cur, dst)`` at global step ``t`` of
+walk ``walk_id`` is scored ``md5(seed | walk_id | t | dst)`` and the
+minimum score wins (ties broken by ``dst`` — the 32-hex score is
+compared first, then the id, exactly like DuckDB's
+``min(md5(...) || dst)``). Consequences that matter at 100 TB:
+
+- the corpus is bit-reproducible across runs, partitionings, AND
+  cluster sizes — no per-partition RNG seeding discipline needed;
+- a resumed job regenerates identical walks (checkpoint-free resume);
+- an exact SQL twin exists (the driver oracle unrolls the steps as
+  chained argmin CTEs), so the sampler is hard-verifiable.
+
+``weighted=True`` switches the per-candidate key to the exponential
+race ``-ln(u) / weight`` (u = the md5-derived uniform in (0, 1]),
+which picks each neighbor with probability proportional to its edge
+weight — the standard Gumbel/exponential trick, still deterministic.
+
+Plan shape per step: ONE shuffle-hash join of the walk frontier
+against the src-partitioned persisted edge table + one per-walk
+argmin aggregation (map-side partial min). Walks that reach a
+dangling vertex leave the frontier that round, so the per-step cost
+tracks the number of LIVE walks, not the corpus size. The frontier
+passes through an aggregate each round — the ratio-based size
+estimate keeps `localCheckpoint` stats flat (the Louvain two-join
+hazard does not apply; see BASELINE.md "sharp edge").
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _walk_key(seed: str, step: int, weighted: bool):
+    """Per-candidate selection key at global step ``step`` (min wins)."""
+    h = F.md5(
+        F.encode(
+            F.concat_ws(
+                "|",
+                F.lit(seed),
+                F.col("walk_id"),
+                F.lit(str(step)),
+                F.col("dst_id"),
+            ),
+            "UTF-8",
+        )
+    )
+    if not weighted:
+        return h
+    # exponential race: u in (0, 1] from the top 60 hash bits; the
+    # min of -ln(u)/w over candidates lands on each with P ∝ w.
+    u = (F.conv(F.substring(h, 1, 15), 16, 10).cast("double") + 1.0) / float(
+        1 << 60
+    )
+    return -F.log(u) / F.col("weight")
+
+
+def random_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    walk_length: int = 8,
+    num_walks: int = 1,
+    seed: str = "w",
+    starts: DataFrame | None = None,
+    weighted: bool = False,
+    directed: bool = True,
+) -> DataFrame:
+    """Sample ``num_walks`` deterministic truncated random walks of at
+    most ``walk_length`` steps from every start vertex.
+
+    ``starts``: one ``id`` column; defaults to every vertex with an
+    out-edge. Returns (walk_id, start_id, seq array<string>, length)
+    with ``walk_id = start_id # walk_index``; ``length`` counts
+    vertices including the start. A walk ends early at a dangling
+    vertex. Self-loops are dropped from the edge set.
+    """
+    e = edges.select("src_id", "dst_id", "weight").filter(
+        F.col("src_id") != F.col("dst_id")
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(
+                F.col("dst_id").alias("src_id"),
+                F.col("src_id").alias("dst_id"),
+                "weight",
+            )
+        )
+    if weighted:
+        # parallel edges act as one candidate of summed weight
+        e = e.groupBy("src_id", "dst_id").agg(F.sum("weight").alias("weight"))
+    else:
+        e = e.select("src_id", "dst_id").distinct().withColumn(
+            "weight", F.lit(1.0)
+        )
+    e = e.repartition("src_id").persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+
+    if starts is None:
+        starts = e.select(F.col("src_id").alias("id")).distinct()
+    frontier = (
+        starts.select("id")
+        .distinct()
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(num_walks - 1))
+            ).alias("k"),
+        )
+        .select(
+            F.concat_ws("#", "id", "k").alias("walk_id"),
+            F.col("id").alias("start_id"),
+            F.col("id").alias("cur"),
+            F.array("id").alias("seq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    finished: list[DataFrame] = []
+    for t in range(1, walk_length + 1):
+        cand = frontier.join(
+            e.withColumnRenamed("src_id", "cur").hint("shuffle_hash"), "cur"
+        )
+        pick = cand.groupBy("walk_id").agg(
+            F.min(
+                F.struct(
+                    _walk_key(seed, t, weighted).alias("k"),
+                    F.col("dst_id").alias("nxt"),
+                )
+            ).alias("m")
+        )
+        j = frontier.join(pick, "walk_id", "left").localCheckpoint(eager=True)
+        finished.append(
+            j.filter(F.col("m").isNull()).select("walk_id", "start_id", "seq")
+        )
+        frontier = j.filter(F.col("m").isNotNull()).select(
+            "walk_id",
+            "start_id",
+            F.col("m.nxt").alias("cur"),
+            F.concat("seq", F.array("m.nxt")).alias("seq"),
+        )
+        if frontier.isEmpty():
+            break
+
+    out = reduce(
+        DataFrame.unionByName,
+        finished + [frontier.select("walk_id", "start_id", "seq")],
+    )
+    e.unpersist()
+    return out.select(
+        "walk_id", "start_id", "seq", F.size("seq").alias("length")
+    )

@@ -1,0 +1,137 @@
+"""Random-walk corpus generation (graph/walks.py) vs an independent
+pure-Python follower that replays the md5-argmin / exponential-race
+step rule on a dict adjacency."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from k2_18_spark.graph.walks import random_walks
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        [(s, d, float(w)) for s, d, w in rows],
+        "src_id string, dst_id string, weight double",
+    )
+
+
+ROWS = [
+    ("a", "b", 1.0), ("a", "c", 2.0), ("a", "d", 0.5),
+    ("b", "c", 1.0), ("b", "a", 1.0),
+    ("c", "a", 3.0), ("c", "d", 1.0),
+    ("d", "e", 1.0),            # e is dangling: walks end there
+    ("a", "a", 9.0),            # self-loop: must be ignored
+    ("c", "d", 2.0),            # parallel edge: one candidate, w summed
+]
+
+
+def _u(h: str) -> float:
+    return (int(h[:15], 16) + 1.0) / float(1 << 60)
+
+
+def _replica(rows, walk_length, num_walks, seed, weighted, directed):
+    adj: dict[str, dict[str, float]] = {}
+
+    def add(s, d, w):
+        if s == d:
+            return
+        adj.setdefault(s, {})
+        adj[s][d] = adj[s].get(d, 0.0) + w if weighted else 1.0
+
+    for s, d, w in rows:
+        add(s, d, w)
+        if not directed:
+            add(d, s, w)
+    out = {}
+    for start in sorted(adj):
+        for k in range(num_walks):
+            wid = f"{start}#{k}"
+            cur, seq = start, [start]
+            for t in range(1, walk_length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                best = None
+                for dst, w in nbrs.items():
+                    h = hashlib.md5(
+                        f"{seed}|{wid}|{t}|{dst}".encode()
+                    ).hexdigest()
+                    key = (-math.log(_u(h)) / w, dst) if weighted else (h, dst)
+                    if best is None or key < best[0]:
+                        best = (key, dst)
+                cur = best[1]
+                seq.append(cur)
+            out[wid] = seq
+    return out
+
+
+@pytest.mark.parametrize("directed", [True, False])
+def test_walks_match_replica(spark, directed):
+    got = {
+        r["walk_id"]: list(r["seq"])
+        for r in random_walks(
+            spark, _edges(spark, ROWS), walk_length=6, num_walks=3,
+            seed="s1", directed=directed,
+        ).collect()
+    }
+    want = _replica(ROWS, 6, 3, "s1", False, directed)
+    assert got == want
+
+
+def test_weighted_walks_match_replica(spark):
+    got = {
+        r["walk_id"]: list(r["seq"])
+        for r in random_walks(
+            spark, _edges(spark, ROWS), walk_length=6, num_walks=2,
+            seed="s2", weighted=True,
+        ).collect()
+    }
+    assert got == _replica(ROWS, 6, 2, "s2", True, True)
+
+
+def test_walks_deterministic_and_seed_sensitive(spark):
+    e = _edges(spark, ROWS)
+    a = random_walks(spark, e, 5, 2, seed="x").collect()
+    b = random_walks(spark, e, 5, 2, seed="x").collect()
+    c = random_walks(spark, e, 5, 2, seed="y").collect()
+    key = lambda rows: sorted((r["walk_id"], tuple(r["seq"])) for r in rows)
+    assert key(a) == key(b)
+    assert key(a) != key(c)
+
+
+def test_dangling_truncation_and_length(spark):
+    rows = random_walks(spark, _edges(spark, ROWS), 10, 1, seed="z").collect()
+    by_id = {r["walk_id"]: r for r in rows}
+    # any walk reaching e stops there (e has no out-edges)
+    for r in rows:
+        seq = list(r["seq"])
+        assert r["length"] == len(seq)
+        if "e" in seq:
+            assert seq.index("e") == len(seq) - 1
+        assert len(seq) <= 11
+    assert by_id["d#0"]["seq"] == ["d", "e"]
+
+
+def test_starts_subset_and_walk_count(spark):
+    starts = spark.createDataFrame([("a",), ("d",)], "id string")
+    rows = random_walks(
+        spark, _edges(spark, ROWS), 4, 3, seed="q", starts=starts
+    ).collect()
+    ids = {r["walk_id"] for r in rows}
+    assert ids == {f"{s}#{k}" for s in ("a", "d") for k in range(3)}
+    for r in rows:
+        assert r["start_id"] == r["walk_id"].split("#")[0]
+        assert r["seq"][0] == r["start_id"]
+
+
+def test_weighted_bias_on_planted_graph(spark):
+    # hub h -> (heavy w=50, light w=1): the exponential race must pick
+    # `heavy` for the large majority of 200 independent walk steps
+    e = _edges(spark, [("h", "heavy", 50.0), ("h", "light", 1.0)])
+    rows = random_walks(spark, e, 1, 200, seed="bias", weighted=True).collect()
+    picks = [r["seq"][1] for r in rows]
+    frac_heavy = picks.count("heavy") / len(picks)
+    assert frac_heavy > 0.9
