@@ -1981,6 +1981,21 @@ def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Luby maximal independent set (graph/mis.py) on
+    the symmetrized block graph: per-round hash priorities
+    md5(seed|id|round), strict local minima enter, neighbors leave.
+    The DuckDB twin unrolls the rounds as chained CTEs with the same
+    ``md5 || id`` priority order, so membership AND the round each
+    vertex was decided in are value-checked per vertex (the 3-round
+    cascade settles inside the 5 unrolled rounds)."""
+    from k2_18_spark.graph.mis import maximal_independent_set
+
+    return maximal_independent_set(
+        spark, _kcore_edges(spark, sf_dir), seed="mseed"
+    )
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap XML parsing (functions/sitemap.py): build one <urlset>
     per host h{0..15} with an entry per doc (lastmod/changefreq/
@@ -2333,6 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_seeded_labels_und": q_graph_seeded_labels_und,
         "graph_diameter": q_graph_diameter,
         "graph_walks": q_graph_walks,
+        "graph_mis": q_graph_mis,
         "sitemap_parse": q_sitemap_parse,
         "frontier_schedule": q_frontier_schedule,
         "crawl_delta": q_crawl_delta,
@@ -2359,6 +2375,45 @@ _WALK_STEPS_SQL = "\n".join(
 _WALK_UNION_SQL = "\n".join(
     f"                UNION ALL SELECT walk_id, {t}, cur FROM s{t}"
     for t in range(1, 9)
+)
+
+# unrolled Luby rounds for the graph_mis oracle: round r keys undecided
+# vertices by md5('mseed|' id '|' r) || id; strict local minima enter,
+# their undecided neighbors are excluded, the rest re-draw
+_MIS_ROUNDS_SQL = "\n".join(
+    f"""            k{r} AS MATERIALIZED (
+                SELECT id, md5('mseed|' || id || '|{r}') || id AS ky
+                FROM u{r - 1}
+            ),
+            nb{r} AS MATERIALIZED (
+                SELECT k1.id, min(k2.ky) AS nb
+                FROM he e
+                JOIN k{r} k1 ON e.s = k1.id
+                JOIN k{r} k2 ON e.t = k2.id
+                GROUP BY k1.id
+            ),
+            m{r} AS MATERIALIZED (
+                SELECT k.id FROM k{r} k LEFT JOIN nb{r} n ON k.id = n.id
+                WHERE n.nb IS NULL OR k.ky < n.nb
+            ),
+            x{r} AS MATERIALIZED (
+                SELECT DISTINCT e.t AS id FROM he e
+                JOIN m{r} m ON e.s = m.id
+                WHERE e.t IN (SELECT id FROM u{r - 1})
+            ),
+            u{r} AS MATERIALIZED (
+                SELECT id FROM u{r - 1}
+                EXCEPT SELECT id FROM m{r}
+                EXCEPT SELECT id FROM x{r}
+            ),"""
+    for r in range(1, 6)
+)
+_MIS_UNION_SQL = "\n".join(
+    f"""                SELECT id, TRUE AS in_mis, {r} AS round FROM m{r}
+                UNION ALL
+                SELECT id, FALSE, {r} FROM x{r}"""
+    + ("\n                UNION ALL" if r < 5 else "")
+    for r in range(1, 6)
 )
 
 # -- iterative graph oracles ------------------------------------------------
@@ -4749,6 +4804,28 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list(cur ORDER BY st), '>') AS path,
                    CAST(COUNT(*) AS INT) AS length
             FROM steps GROUP BY walk_id
+        """,
+        "graph_mis": f"""
+            WITH raw AS MATERIALIZED ({_KCORE_EDGES_SQL}),
+            he AS MATERIALIZED (
+                SELECT DISTINCT s, t FROM (
+                    SELECT src_id AS s, dst_id AS t FROM raw
+                    WHERE src_id <> dst_id
+                    UNION ALL
+                    SELECT dst_id, src_id FROM raw WHERE src_id <> dst_id
+                )
+            ),
+            u0 AS (
+                SELECT DISTINCT id FROM (
+                    SELECT src_id AS id FROM raw
+                    UNION ALL SELECT dst_id FROM raw
+                )
+            ),
+{_MIS_ROUNDS_SQL}
+            final AS (
+{_MIS_UNION_SQL}
+            )
+            SELECT id, in_mis, round FROM final
         """,
         "graph_diameter": f"""
             WITH RECURSIVE raw AS MATERIALIZED ({_KCORE_EDGES_SQL}),
