@@ -1996,6 +1996,67 @@ def q_graph_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _parclean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-line doc corpus for the paragraph-cleaning oracles:
+    per doc — host nav line (host boilerplate), the real text's
+    40-char prefix (24 cross-doc collisions at sf0.01 make the dedup
+    non-trivial), a unique body line, a doc_id%3-gated newsletter
+    line (~1/3 of each host), and a global copyright footer."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    hostk = F.pmod(did, F.lit(16)).cast("string")
+    return d.select(
+        "doc_id",
+        F.concat(F.lit("h"), hostk).alias("host"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("nav h"), hostk),
+            F.substring("text", 1, 40),
+            F.concat(F.lit("body "), did.cast("string")),
+            F.when(
+                F.pmod(did, F.lit(3)) == 0,
+                F.lit("subscribe to our newsletter"),
+            ).otherwise(F.concat(F.lit("tail "), did.cast("string"))),
+            F.lit("copyright example.org"),
+        ).alias("text"),
+    )
+
+
+def q_doc_par_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style paragraph dedup (operators/parclean.py): drop every
+    line occurring in ≥5 distinct docs except its canonical first
+    occurrence (min (doc_id, pos)). The DuckDB twin recomputes line
+    frequencies and first-occurrence markers from the same
+    construction with string_split + grouped aggregation, and the
+    cleaned text round-trips through md5 — so kept/dropped decisions,
+    line ORDER, and byte-exact reassembly are all verified per doc."""
+    from k2_18_spark.operators.parclean import dedup_paragraphs
+
+    out = dedup_paragraphs(
+        _parclean_docs(spark, sf_dir), min_repeat=5, keep_first=True
+    )
+    return out.select(
+        "doc_id",
+        F.md5(F.encode("text_clean", "UTF-8")).alias("clean_md5"),
+        "lines_kept",
+        "lines_dropped",
+    )
+
+
+def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-host boilerplate profile
+    (operators/parclean.py): lines present in ≥30% of a host's ≥10
+    docs. The ~32%-frequency newsletter line sits right at the
+    threshold (10/31 vs 11/32 per host), so the frac arithmetic and
+    the host-doc denominators are exercised, not just the obvious
+    100% nav/copyright lines."""
+    from k2_18_spark.operators.parclean import boilerplate_lines
+
+    return boilerplate_lines(
+        _parclean_docs(spark, sf_dir), min_docs=10, min_frac=0.3
+    )
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap XML parsing (functions/sitemap.py): build one <urlset>
     per host h{0..15} with an entry per doc (lastmod/changefreq/
@@ -2349,6 +2410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_diameter": q_graph_diameter,
         "graph_walks": q_graph_walks,
         "graph_mis": q_graph_mis,
+        "doc_par_dedup": q_doc_par_dedup,
+        "host_boilerplate": q_host_boilerplate,
         "sitemap_parse": q_sitemap_parse,
         "frontier_schedule": q_frontier_schedule,
         "crawl_delta": q_crawl_delta,
@@ -2376,6 +2439,20 @@ _WALK_UNION_SQL = "\n".join(
     f"                UNION ALL SELECT walk_id, {t}, cur FROM s{t}"
     for t in range(1, 9)
 )
+
+# multi-line doc construction shared by the paragraph-cleaning oracles
+# (the SQL twin of __spark_entry__._parclean_docs)
+_PARCLEAN_DOCS_SQL = """
+SELECT doc_id,
+       'h' || (doc_id % 16) AS host,
+       'nav h' || (doc_id % 16) || chr(10)
+           || substr(text, 1, 40) || chr(10)
+           || 'body ' || doc_id || chr(10)
+           || CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
+                   ELSE 'tail ' || doc_id END || chr(10)
+           || 'copyright example.org' AS text
+FROM documents
+"""
 
 # unrolled Luby rounds for the graph_mis oracle: round r keys undecided
 # vertices by md5('mseed|' id '|' r) || id; strict local minima enter,
@@ -4804,6 +4881,84 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list(cur ORDER BY st), '>') AS path,
                    CAST(COUNT(*) AS INT) AS length
             FROM steps GROUP BY walk_id
+        """,
+        "doc_par_dedup": f"""
+            WITH t AS MATERIALIZED ({_PARCLEAN_DOCS_SQL}),
+            l AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1)
+                           AS pos
+                FROM t
+            ),
+            n AS MATERIALIZED (
+                SELECT doc_id, pos, line, trim(line) AS norm FROM l
+                WHERE trim(line) <> ''
+            ),
+            f AS MATERIALIZED (
+                SELECT norm, count(DISTINCT doc_id) AS n_docs FROM n
+                GROUP BY norm
+            ),
+            fst AS MATERIALIZED (
+                SELECT norm, min(doc_id) AS fd FROM n GROUP BY norm
+            ),
+            fstp AS MATERIALIZED (
+                SELECT n.norm, fst.fd, min(n.pos) AS fp
+                FROM n JOIN fst ON n.norm = fst.norm AND n.doc_id = fst.fd
+                GROUP BY n.norm, fst.fd
+            ),
+            m AS MATERIALIZED (
+                SELECT n.doc_id, n.pos, n.line,
+                       (f.n_docs >= 5 AND NOT (n.doc_id = fstp.fd
+                                               AND n.pos = fstp.fp))
+                           AS dropped
+                FROM n JOIN f USING (norm) JOIN fstp ON n.norm = fstp.norm
+            ),
+            agg AS (
+                SELECT doc_id,
+                       COALESCE(array_to_string(
+                           list(line ORDER BY pos)
+                               FILTER (WHERE NOT dropped), chr(10)), '')
+                           AS text_clean,
+                       count(*) FILTER (WHERE NOT dropped) AS lines_kept,
+                       count(*) FILTER (WHERE dropped) AS lines_dropped
+                FROM m GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   md5(COALESCE(agg.text_clean, '')) AS clean_md5,
+                   CAST(COALESCE(agg.lines_kept, 0) AS BIGINT)
+                       AS lines_kept,
+                   CAST(COALESCE(agg.lines_dropped, 0) AS BIGINT)
+                       AS lines_dropped
+            FROM t LEFT JOIN agg USING (doc_id)
+        """,
+        "host_boilerplate": f"""
+            WITH t AS MATERIALIZED ({_PARCLEAN_DOCS_SQL}),
+            l AS MATERIALIZED (
+                SELECT doc_id, host,
+                       unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1)
+                           AS pos
+                FROM t
+            ),
+            n AS (
+                SELECT doc_id, host, trim(line) AS norm FROM l
+                WHERE trim(line) <> ''
+            ),
+            hb AS (
+                SELECT host, norm AS line,
+                       count(DISTINCT doc_id) AS df_docs
+                FROM n GROUP BY host, norm
+            ),
+            hd AS (
+                SELECT host, count(DISTINCT doc_id) AS host_docs FROM t
+                GROUP BY host
+            )
+            SELECT hb.host, hb.line, hb.df_docs, hd.host_docs,
+                   ROUND(hb.df_docs / hd.host_docs, 6) AS frac
+            FROM hb JOIN hd USING (host)
+            WHERE hd.host_docs >= 10
+              AND ROUND(hb.df_docs / hd.host_docs, 6) >= 0.3
         """,
         "graph_mis": f"""
             WITH raw AS MATERIALIZED ({_KCORE_EDGES_SQL}),
