@@ -1981,6 +1981,28 @@ def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram pair extraction (graph/walks.py skipgram_pairs) over
+    the deterministic walk corpus of ``graph_walks``: every
+    (center, context) co-occurrence within offset ±2, counted across
+    all walks. The DuckDB twin regenerates the walks with the same
+    unrolled argmin CTEs and derives the pairs with a step self-join
+    — the engine's explode+element_at path must aggregate to the
+    identical co-occurrence table."""
+    from k2_18_spark.graph.walks import random_walks, skipgram_pairs
+
+    return skipgram_pairs(
+        random_walks(
+            spark,
+            _kcore_edges(spark, sf_dir),
+            walk_length=8,
+            num_walks=2,
+            seed="wseed",
+        ),
+        window=2,
+    )
+
+
 def q_graph_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Luby maximal independent set (graph/mis.py) on
     the symmetrized block graph: per-round hash priorities
@@ -2410,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_diameter": q_graph_diameter,
         "graph_walks": q_graph_walks,
         "graph_mis": q_graph_mis,
+        "walk_skipgrams": q_walk_skipgrams,
         "doc_par_dedup": q_doc_par_dedup,
         "host_boilerplate": q_host_boilerplate,
         "sitemap_parse": q_sitemap_parse,
@@ -4881,6 +4904,29 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list(cur ORDER BY st), '>') AS path,
                    CAST(COUNT(*) AS INT) AS length
             FROM steps GROUP BY walk_id
+        """,
+        "walk_skipgrams": f"""
+            WITH raw AS MATERIALIZED ({_KCORE_EDGES_SQL}),
+            e AS MATERIALIZED (
+                SELECT DISTINCT src_id AS s, dst_id AS t FROM raw
+                WHERE src_id <> dst_id
+            ),
+            s0 AS (
+                SELECT v.id || '#' || w.k AS walk_id, v.id AS cur
+                FROM (SELECT DISTINCT s AS id FROM e) v
+                CROSS JOIN (VALUES (0), (1)) w(k)
+            ),
+{_WALK_STEPS_SQL}
+            steps AS MATERIALIZED (
+                SELECT walk_id, 0 AS st, cur FROM s0
+{_WALK_UNION_SQL}
+            )
+            SELECT a.cur AS center, b.cur AS context,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM steps a JOIN steps b
+              ON a.walk_id = b.walk_id
+             AND abs(a.st - b.st) <= 2 AND a.st <> b.st
+            GROUP BY 1, 2
         """,
         "doc_par_dedup": f"""
             WITH t AS MATERIALIZED ({_PARCLEAN_DOCS_SQL}),

@@ -261,6 +261,20 @@ def main() -> None:
         ).count(),
     )
 
+    # DeepWalk corpus → skip-gram pairs end-to-end (graph/walks.py):
+    # one walk of 10 steps from every vertex (10 frontier supersteps,
+    # hash-argmin next-hop, finished walks leave the frontier), then
+    # the windowed co-occurrence aggregation an embedding trainer
+    # consumes. The walk corpus is |V|-sized state per superstep —
+    # same scaling shape as the rank vector.
+    from k2_18_spark.graph.walks import random_walks, skipgram_pairs
+
+    def run_walks():
+        corpus = random_walks(spark, edges, walk_length=10, num_walks=1)
+        return skipgram_pairs(corpus, window=2).count()
+
+    extras["skipgram_pairs"] = timed("walks_skipgrams", run_walks)
+
     # graph section done — release its caches so the data-pipeline
     # queries below aren't fighting them for executor memory
     adj.unpersist()
@@ -343,6 +357,29 @@ def main() -> None:
         extras["warc_pages_per_sec"] = round(
             pages_n / timings["warc_roundtrip"], 1
         )
+
+        # -- paragraph-level corpus cleaning (operators/parclean.py):
+        # C4-style line dedup over multi-line docs built from the same
+        # page corpus — per-doc nav/copyright boilerplate + unique
+        # bodies, ~6 lines/doc. One explode + one line-key groupBy
+        # (map-side combine collapses the repeats) + per-doc rebuild.
+        from k2_18_spark.operators.parclean import dedup_paragraphs
+
+        def run_parclean():
+            host = F.pmod(F.col("doc_id"), F.lit(1024)).cast("string")
+            mdocs = pdocs.select(
+                "doc_id",
+                F.concat_ws(
+                    "\n",
+                    F.concat(F.lit("nav h"), host),
+                    F.col("text"),
+                    F.concat(F.lit("body "), F.col("doc_id").cast("string")),
+                    F.lit("copyright example.org"),
+                ).alias("text"),
+            )
+            return dedup_paragraphs(mdocs, min_repeat=5).count()
+
+        extras["parclean_docs"] = timed("par_dedup", run_parclean)
         pdocs.unpersist()
 
     # -- embedding-dedup end-to-end on planted near-dup clusters

@@ -163,3 +163,44 @@ def random_walks(
     return out.select(
         "walk_id", "start_id", "seq", F.size("seq").alias("length")
     )
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Walk corpus → aggregated skip-gram training pairs
+    (center, context, n_pairs): every (seq[i], seq[i+d]) with
+    1 ≤ |d| ≤ ``window``, counted across the corpus — the exact input
+    a word2vec-style trainer consumes (DeepWalk §4.2).
+
+    No self-join: one ``posexplode`` of the sequence and one bounded
+    offset explode, with ``element_at`` picking the context — the
+    pair stream is generated map-side and collapsed by the single
+    (center, context) groupBy shuffle. At 100 TB the corpus-sized
+    pair table never materializes; only the aggregated co-occurrence
+    counts shuffle."""
+    offs = [d for d in range(-window, window + 1) if d != 0]
+    return (
+        walks.select(F.posexplode("seq").alias("i", "center"), "seq")
+        .select(
+            "center",
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.lit(offs),
+                        # element_at is 1-based and wraps on negative
+                        # indices (ANSI errors out of range) — guard
+                        # the window to the sequence bounds
+                        lambda d: F.when(
+                            (F.col("i") + d >= 0)
+                            & (F.col("i") + d < F.size("seq")),
+                            F.element_at(
+                                "seq", (F.col("i") + d + 1).cast("int")
+                            ),
+                        ),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("context"),
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -875,6 +875,85 @@ def main():
         engine_wall=te, oracle_wall=wall - te,
     )
 
+    # -- random-walk corpus at 1M starts -----------------------------------
+    # engine: one 5-step walk from every vertex with an out-edge (1M
+    # walks, 5 frontier supersteps); oracle: an exact pure-Python
+    # follower of the md5-argmin rule on a numpy CSR, replayed for a
+    # deterministic 1-in-500 sample of starts (2k walks, every hop
+    # byte-compared) + global corpus invariants (walk count = start
+    # count, length bounds).
+    t0 = time.monotonic()
+    from k2_18_spark.graph.walks import random_walks
+
+    g_edges = spark.read.parquet(SCRATCH)
+    corpus = random_walks(
+        spark, g_edges, walk_length=5, num_walks=1, seed="sf1"
+    )
+    n_walks, max_len = corpus.agg(
+        F.count(F.lit(1)), F.max("length")
+    ).collect()[0]
+    sample = (
+        corpus.filter(
+            F.pmod(F.substring("start_id", 2, 10).cast("long"), F.lit(500))
+            == 0
+        )
+        .toPandas()
+        .sort_values("walk_id")
+        .reset_index(drop=True)
+    )
+    te = time.monotonic() - t0
+
+    el = con.sql(
+        "SELECT DISTINCT CAST(substr(src_id, 2, 10) AS BIGINT) s,"
+        "       CAST(substr(dst_id, 2, 10) AS BIGINT) d "
+        "FROM e WHERE src_id <> dst_id"
+    ).df()
+    s_arr = el["s"].to_numpy()
+    d_arr = el["d"].to_numpy()
+    order = np.lexsort((d_arr, s_arr))
+    s_arr, d_arr = s_arr[order], d_arr[order]
+    n_starts = len(np.unique(s_arr))
+
+    import hashlib
+
+    def follow(start: int) -> list[str]:
+        wid = f"v{start}#0"
+        cur, seq = start, [f"v{start}"]
+        for t in range(1, 6):
+            lo = np.searchsorted(s_arr, cur, "left")
+            hi = np.searchsorted(s_arr, cur, "right")
+            if lo == hi:
+                break
+            best = None
+            for d in d_arr[lo:hi]:
+                dst = f"v{d}"
+                h = hashlib.md5(f"sf1|{wid}|{t}|{dst}".encode()).hexdigest()
+                if best is None or (h, dst) < best[0]:
+                    best = ((h, dst), d)
+            cur = best[1]
+            seq.append(f"v{cur}")
+        return seq
+
+    want = {}
+    for i in range(0, NUM_V, 500):
+        lo = np.searchsorted(s_arr, i, "left")
+        if lo < len(s_arr) and s_arr[lo] == i:
+            want[f"v{i}#0"] = ">".join(follow(i))
+    got = {
+        r["walk_id"]: ">".join(r["seq"]) for _, r in sample.iterrows()
+    }
+    bad = sum(1 for k, v in want.items() if got.get(k) != v)
+    bad += sum(1 for k in got if k not in want)
+    wall = time.monotonic() - t0
+    record(
+        "walks_1m",
+        bad == 0 and n_walks == n_starts and max_len <= 6,
+        wall,
+        f"{n_walks} walks from {n_starts} starts, {len(want)} sampled "
+        f"walks hop-compared, max_len={max_len}, {bad} mismatches",
+        engine_wall=te, oracle_wall=wall - te,
+    )
+
     with open(OUT, "w", encoding="utf-8") as f:
         json.dump({"num_vertices": NUM_V, "num_edges": m, "checks": results},
                   f, indent=2)

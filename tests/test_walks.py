@@ -127,6 +127,43 @@ def test_starts_subset_and_walk_count(spark):
         assert r["seq"][0] == r["start_id"]
 
 
+def test_skipgram_pairs_exact(spark):
+    from k2_18_spark.graph.walks import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [("w0", ["a", "b", "c", "d"]), ("w1", ["x", "y"])],
+        "walk_id string, seq array<string>",
+    )
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    want = {}
+    for seq in (["a", "b", "c", "d"], ["x", "y"]):
+        for i, c in enumerate(seq):
+            for d in (-2, -1, 1, 2):
+                if 0 <= i + d < len(seq):
+                    k = (c, seq[i + d])
+                    want[k] = want.get(k, 0) + 1
+    assert got == want
+    assert got[("a", "b")] == 1 and got[("b", "a")] == 1
+    assert ("a", "d") not in got  # outside window
+
+
+def test_skipgram_pairs_counts_aggregate(spark):
+    from k2_18_spark.graph.walks import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [("w0", ["a", "b"]), ("w1", ["a", "b"]), ("w2", ["b", "a"])],
+        "walk_id string, seq array<string>",
+    )
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in skipgram_pairs(walks, window=1).collect()
+    }
+    assert got == {("a", "b"): 3, ("b", "a"): 3}
+
+
 def test_weighted_bias_on_planted_graph(spark):
     # hub h -> (heavy w=50, light w=1): the exponential race must pick
     # `heavy` for the large majority of 200 independent walk steps
