@@ -1981,6 +1981,21 @@ def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Jones-Plassmann coloring (graph/coloring.py) on
+    the symmetrized block graph: fixed md5(seed|id) priorities, local
+    maxima take the mex of their colored neighbors each round. The
+    DuckDB twin unrolls the 11-round cascade (12 unrolled for margin)
+    with the same priority order and a correlated NOT-EXISTS mex over
+    a candidate color range, so color assignment AND the round each
+    vertex colored in are value-checked for all 500 vertices."""
+    from k2_18_spark.graph.coloring import greedy_coloring
+
+    return greedy_coloring(
+        spark, _kcore_edges(spark, sf_dir), seed="cseed"
+    )
+
+
 def q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram pair extraction (graph/walks.py skipgram_pairs) over
     the deterministic walk corpus of ``graph_walks``: every
@@ -2433,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks": q_graph_walks,
         "graph_mis": q_graph_mis,
         "walk_skipgrams": q_walk_skipgrams,
+        "graph_coloring": q_graph_coloring,
         "doc_par_dedup": q_doc_par_dedup,
         "host_boilerplate": q_host_boilerplate,
         "sitemap_parse": q_sitemap_parse,
@@ -2476,6 +2492,47 @@ SELECT doc_id,
            || 'copyright example.org' AS text
 FROM documents
 """
+
+# unrolled Jones-Plassmann rounds for the graph_coloring oracle:
+# fixed priority md5('cseed|' id) || id; per round, uncolored local
+# maxima take the mex of their already-colored neighbors (correlated
+# NOT-EXISTS over a candidate range ≥ max degree — the mex itself is
+# range-independent)
+_COLORING_ROUNDS_SQL = "\n".join(
+    f"""            cand{r} AS MATERIALIZED (
+                SELECT k.id, k.ky FROM u{r - 1} uu JOIN p k ON uu.id = k.id
+                LEFT JOIN (
+                    SELECT e.s AS id, max(k2.ky) AS nb
+                    FROM he e
+                    JOIN u{r - 1} a ON e.s = a.id
+                    JOIN u{r - 1} b ON e.t = b.id
+                    JOIN p k2 ON e.t = k2.id
+                    GROUP BY e.s
+                ) nb ON k.id = nb.id
+                WHERE nb.nb IS NULL OR k.ky > nb.nb
+            ),
+            col{r} AS MATERIALIZED (
+                SELECT c.id,
+                       (SELECT CAST(min(gs.x) AS INT)
+                        FROM generate_series(0, 12) gs(x)
+                        WHERE NOT EXISTS (
+                            SELECT 1 FROM he e
+                            JOIN call{r - 1} cc ON e.t = cc.id
+                            WHERE e.s = c.id AND cc.color = gs.x))
+                           AS color,
+                       CAST({r} AS INT) AS round
+                FROM cand{r} c
+            ),
+            call{r} AS MATERIALIZED (
+                SELECT id, color, round FROM call{r - 1}
+                UNION ALL SELECT id, color, round FROM col{r}
+            ),
+            u{r} AS MATERIALIZED (
+                SELECT id FROM u{r - 1}
+                EXCEPT SELECT id FROM col{r}
+            ),"""
+    for r in range(1, 13)
+)
 
 # unrolled Luby rounds for the graph_mis oracle: round r keys undecided
 # vertices by md5('mseed|' id '|' r) || id; strict local minima enter,
@@ -5005,6 +5062,33 @@ def oracle_sql() -> dict[str, str]:
             FROM hb JOIN hd USING (host)
             WHERE hd.host_docs >= 10
               AND ROUND(hb.df_docs / hd.host_docs, 6) >= 0.3
+        """,
+        "graph_coloring": f"""
+            WITH raw AS MATERIALIZED ({_KCORE_EDGES_SQL}),
+            he AS MATERIALIZED (
+                SELECT DISTINCT s, t FROM (
+                    SELECT src_id AS s, dst_id AS t FROM raw
+                    WHERE src_id <> dst_id
+                    UNION ALL
+                    SELECT dst_id, src_id FROM raw WHERE src_id <> dst_id
+                )
+            ),
+            u0 AS MATERIALIZED (
+                SELECT DISTINCT id FROM (
+                    SELECT src_id AS id FROM raw
+                    UNION ALL SELECT dst_id FROM raw
+                )
+            ),
+            p AS MATERIALIZED (
+                SELECT id, md5('cseed|' || id) || id AS ky FROM u0
+            ),
+            call0 AS (
+                SELECT CAST(NULL AS VARCHAR) AS id, CAST(NULL AS INT)
+                    AS color, CAST(NULL AS INT) AS round WHERE FALSE
+            ),
+{_COLORING_ROUNDS_SQL}
+            final AS (SELECT id, color, round FROM call12)
+            SELECT id, color, round FROM final
         """,
         "graph_mis": f"""
             WITH raw AS MATERIALIZED ({_KCORE_EDGES_SQL}),
