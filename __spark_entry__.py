@@ -1981,6 +1981,52 @@ def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/pii.py) over docs with planted
+    emails (doc_id%2), IPv4s (doc_id%3) and 3-3-4 phones (doc_id%5)
+    appended to the real text prefix. The DuckDB twin regenerates the
+    same corpus and replays the ordered regexp_replace chain with
+    RE2 ('g' flag) + regexp_extract_all counts, and the scrubbed text
+    round-trips through md5 — masking, precedence (email digits never
+    double-count as phones), and per-kind counts all verified per
+    doc."""
+    from k2_18_spark.functions.pii import scrub_pii
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+
+    def mod(n):
+        return F.pmod(did, F.lit(n)).cast("string")
+
+    text2 = F.concat(
+        F.substring("text", 1, 30),
+        F.when(
+            F.pmod(did, F.lit(2)) == 0,
+            F.concat(F.lit(" user"), did.cast("string"), F.lit("@site"),
+                     mod(7), F.lit(".org")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(did, F.lit(3)) == 0,
+            F.concat(F.lit(" host 10."), mod(256), F.lit(".0."), mod(100)),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(did, F.lit(5)) == 0,
+            F.concat(F.lit(" call 555-"), F.lpad(mod(1000), 3, "0"),
+                     F.lit("-"), F.lpad(mod(10000), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.lit(" tail "),
+        did.cast("string"),
+    )
+    out = scrub_pii(d.select("doc_id", text2.alias("text")))
+    return out.select(
+        "doc_id",
+        F.md5(F.encode("text_scrubbed", "UTF-8")).alias("scrub_md5"),
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+    )
+
+
 def q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Jones-Plassmann coloring (graph/coloring.py) on
     the symmetrized block graph: fixed md5(seed|id) priorities, local
@@ -2449,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_mis": q_graph_mis,
         "walk_skipgrams": q_walk_skipgrams,
         "graph_coloring": q_graph_coloring,
+        "doc_pii_scrub": q_doc_pii_scrub,
         "doc_par_dedup": q_doc_par_dedup,
         "host_boilerplate": q_host_boilerplate,
         "sitemap_parse": q_sitemap_parse,
@@ -5062,6 +5109,58 @@ def oracle_sql() -> dict[str, str]:
             FROM hb JOIN hd USING (host)
             WHERE hd.host_docs >= 10
               AND ROUND(hb.df_docs / hd.host_docs, 6) >= 0.3
+        """,
+        "doc_pii_scrub": """
+            WITH t AS MATERIALIZED (
+                SELECT doc_id,
+                       substr(text, 1, 30)
+                       || CASE WHEN doc_id % 2 = 0 THEN
+                              ' user' || doc_id || '@site'
+                              || (doc_id % 7) || '.org' ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0 THEN
+                              ' host 10.' || (doc_id % 256) || '.0.'
+                              || (doc_id % 100) ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN
+                              ' call 555-'
+                              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                              || '-'
+                              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END
+                       || ' tail ' || doc_id AS text
+                FROM documents
+            ),
+            s1 AS (
+                SELECT doc_id, text,
+                       CAST(len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))
+                           AS BIGINT) AS n_email,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                           '<EMAIL>', 'g') AS t1
+                FROM t
+            ),
+            s2 AS (
+                SELECT doc_id, n_email,
+                       CAST(len(regexp_extract_all(t1,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                           AS BIGINT) AS n_ipv4,
+                       regexp_replace(t1,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                           '<IP>', 'g') AS t2
+                FROM s1
+            ),
+            s3 AS (
+                SELECT doc_id, n_email, n_ipv4,
+                       CAST(len(regexp_extract_all(t2,
+                           '\\+\\d{7,15}\\b|\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'))
+                           AS BIGINT) AS n_phone,
+                       regexp_replace(t2,
+                           '\\+\\d{7,15}\\b|\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b',
+                           '<PHONE>', 'g') AS t3
+                FROM s2
+            )
+            SELECT doc_id, md5(t3) AS scrub_md5, n_email, n_ipv4, n_phone
+            FROM s3
         """,
         "graph_coloring": f"""
             WITH raw AS MATERIALIZED ({_KCORE_EDGES_SQL}),
