@@ -1981,6 +1981,21 @@ def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SimRank, 3 Jeh-Widom iterations at C=0.8
+    (graph/simrank.py) on the block graph — multi-hop structural
+    similarity where cocitation stops at one hop. The DuckDB twin
+    unrolls the pair-state propagation (two edge joins + in-degree
+    normalization per iteration, diagonal re-seeded each round) and
+    both sides round to 6 decimals, so every surviving vertex-pair
+    score is value-checked."""
+    from k2_18_spark.graph.simrank import simrank
+
+    return simrank(
+        spark, _kcore_edges(spark, sf_dir), c=0.8, iterations=3
+    )
+
+
 def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (functions/pii.py) over docs with planted
     emails (doc_id%2), IPv4s (doc_id%3) and 3-3-4 phones (doc_id%5)
@@ -2496,6 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_skipgrams": q_walk_skipgrams,
         "graph_coloring": q_graph_coloring,
         "doc_pii_scrub": q_doc_pii_scrub,
+        "graph_simrank": q_graph_simrank,
         "doc_par_dedup": q_doc_par_dedup,
         "host_boilerplate": q_host_boilerplate,
         "sitemap_parse": q_sitemap_parse,
@@ -2539,6 +2555,26 @@ SELECT doc_id,
            || 'copyright example.org' AS text
 FROM documents
 """
+
+# unrolled Jeh-Widom SimRank iterations for the graph_simrank oracle:
+# pair state propagated through both incident-edge joins, in-degree
+# normalized, diagonal re-seeded each round
+_SIMRANK_ITERS_SQL = "\n".join(
+    f"""            s{k} AS MATERIALIZED (
+                SELECT ea.t AS a, eb.t AS b,
+                       0.8 * sum(p.v) / (max(da.d) * max(db.d)) AS v
+                FROM s{k - 1} p
+                JOIN e ea ON ea.s = p.a
+                JOIN e eb ON eb.s = p.b
+                JOIN din da ON da.id = ea.t
+                JOIN din db ON db.id = eb.t
+                WHERE ea.t <> eb.t
+                GROUP BY ea.t, eb.t
+                UNION ALL
+                SELECT id, id, CAST(1.0 AS DOUBLE) FROM vs
+            ),"""
+    for k in range(1, 4)
+)
 
 # unrolled Jones-Plassmann rounds for the graph_coloring oracle:
 # fixed priority md5('cseed|' id) || id; per round, uncolored local
@@ -5109,6 +5145,31 @@ def oracle_sql() -> dict[str, str]:
             FROM hb JOIN hd USING (host)
             WHERE hd.host_docs >= 10
               AND ROUND(hb.df_docs / hd.host_docs, 6) >= 0.3
+        """,
+        "graph_simrank": f"""
+            WITH raw AS MATERIALIZED ({_KCORE_EDGES_SQL}),
+            e AS MATERIALIZED (
+                SELECT DISTINCT src_id AS s, dst_id AS t FROM raw
+                WHERE src_id <> dst_id
+            ),
+            vs AS MATERIALIZED (
+                SELECT DISTINCT id FROM (
+                    SELECT src_id AS id FROM raw
+                    UNION ALL SELECT dst_id FROM raw
+                )
+            ),
+            din AS MATERIALIZED (
+                SELECT t AS id, count(*) AS d FROM e GROUP BY t
+            ),
+            s0 AS MATERIALIZED (
+                SELECT id AS a, id AS b, CAST(1.0 AS DOUBLE) AS v FROM vs
+            ),
+{_SIMRANK_ITERS_SQL}
+            final AS (
+                SELECT a, b, ROUND(v, 6) AS sim FROM s3
+                WHERE a < b AND ROUND(v, 6) > 0.0001
+            )
+            SELECT a, b, sim FROM final
         """,
         "doc_pii_scrub": """
             WITH t AS MATERIALIZED (
