@@ -1981,6 +1981,41 @@ def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling (operators/mixing.py): per-source
+    rates 0.0 / 0.5 / 1.0 / 2.3 by source index mod 4 — exercising
+    drop, fractional downsample, identity, and fractional UPsample in
+    one row. The DuckDB twin replays the md5-draw-vs-hex-threshold
+    rule (thresholds are shared constant literals from the same
+    ``_threshold_hex`` arithmetic) and expands copies with a bounded
+    series join, so every kept (doc, copy) pair is value-checked."""
+    from k2_18_spark.operators.mixing import stratified_sample
+
+    rates = {f"src{i}": [0.0, 0.5, 1.0, 2.3][i % 4] for i in range(20)}
+    d = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(d, rates).select("doc_id", "source", "copy")
+
+
+def q_doc_pack_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact greedy sequence packing (operators/mixing.py): docs
+    ordered by id within each of 16 hosts, budget 2000 chars, hard
+    no-overfill invariant. The engine's applyInPandas pass is
+    replayed by a DuckDB recursive CTE that advances every host one
+    doc per iteration with the same reset-cumsum recurrence, so
+    sequence boundaries, per-sequence token sums, and pack ORDER are
+    all verified."""
+    from k2_18_spark.operators.mixing import pack_sequences
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), F.pmod("doc_id", F.lit(16)).cast("string")
+        ).alias("host"),
+        F.col("n_chars").alias("n_tokens"),
+    )
+    return pack_sequences(d, budget=2000, part_col="host")
+
+
 def q_graph_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact SimRank, 3 Jeh-Widom iterations at C=0.8
     (graph/simrank.py) on the block graph — multi-hop structural
@@ -2512,6 +2547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coloring": q_graph_coloring,
         "doc_pii_scrub": q_doc_pii_scrub,
         "graph_simrank": q_graph_simrank,
+        "doc_mix_sample": q_doc_mix_sample,
+        "doc_pack_seqs": q_doc_pack_seqs,
         "doc_par_dedup": q_doc_par_dedup,
         "host_boilerplate": q_host_boilerplate,
         "sitemap_parse": q_sitemap_parse,
@@ -2555,6 +2592,14 @@ SELECT doc_id,
            || 'copyright example.org' AS text
 FROM documents
 """
+
+# shared constant thresholds for the doc_mix_sample oracle — same
+# arithmetic the engine's stratified_sample embeds in its plan
+from k2_18_spark.operators.mixing import _threshold_hex as _thex  # noqa: E402
+
+_MIX_T00 = _thex(0.0)
+_MIX_T05 = _thex(0.5)
+_MIX_T03 = _thex(2.3 - 2)
 
 # unrolled Jeh-Widom SimRank iterations for the graph_simrank oracle:
 # pair state propagated through both incident-edge joins, in-degree
@@ -5145,6 +5190,54 @@ def oracle_sql() -> dict[str, str]:
             FROM hb JOIN hd USING (host)
             WHERE hd.host_docs >= 10
               AND ROUND(hb.df_docs / hd.host_docs, 6) >= 0.3
+        """,
+        "doc_mix_sample": f"""
+            WITH b AS (
+                SELECT doc_id, source,
+                       CASE CAST(substr(source, 4) AS INT) % 4
+                           WHEN 0 THEN 0 WHEN 1 THEN 0
+                           WHEN 2 THEN 1 WHEN 3 THEN 2 END AS w,
+                       CASE CAST(substr(source, 4) AS INT) % 4
+                           WHEN 0 THEN '{_MIX_T00}' WHEN 1 THEN '{_MIX_T05}'
+                           WHEN 2 THEN '{_MIX_T00}' WHEN 3 THEN '{_MIX_T03}'
+                       END AS t
+                FROM documents
+            ),
+            n AS (
+                SELECT doc_id, source,
+                       w + CASE WHEN substr(md5('mix|' || doc_id), 1, 15) < t
+                                THEN 1 ELSE 0 END AS nc
+                FROM b
+            )
+            SELECT doc_id, source, CAST(gs.c AS INT) AS copy
+            FROM n, generate_series(0, 3) gs(c)
+            WHERE gs.c < n.nc
+        """,
+        "doc_pack_seqs": """
+            WITH RECURSIVE b AS MATERIALIZED (
+                SELECT 'h' || (doc_id % 16) AS part, doc_id,
+                       n_chars AS t,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 16
+                                               ORDER BY doc_id) AS INT)
+                           AS rn
+                FROM documents
+            ),
+            rec(part, rn, doc_id, t, acc, seq) AS (
+                SELECT part, rn, doc_id, t, t, 0 FROM b WHERE rn = 1
+                UNION ALL
+                SELECT b.part, b.rn, b.doc_id, b.t,
+                       CASE WHEN r.acc + b.t <= 2000 THEN r.acc + b.t
+                            ELSE b.t END,
+                       CASE WHEN r.acc + b.t <= 2000 THEN r.seq
+                            ELSE r.seq + 1 END
+                FROM rec r JOIN b ON b.part = r.part AND b.rn = r.rn + 1
+            )
+            SELECT part AS host, CAST(seq AS BIGINT) AS seq_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(t) AS BIGINT) AS n_tokens,
+                   array_to_string(list(CAST(doc_id AS VARCHAR)
+                                        ORDER BY rn), '>') AS doc_ids
+            FROM rec GROUP BY part, seq
         """,
         "graph_simrank": f"""
             WITH raw AS MATERIALIZED ({_KCORE_EDGES_SQL}),
