@@ -1981,6 +1981,48 @@ def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 rule-set filtering (operators/c4_filters.py) over docs with
+    a per-doc_id schedule of rule violations — javascript marker
+    (%4=0), missing terminal punctuation (%4=1), curly braces (%4=2),
+    a clean extra line (%4=3), and a cookie-marker line (%5=0) — so
+    every line rule AND the 3-sentence document gate flip across the
+    corpus. The DuckDB twin replays the rules with RE2 + LIKE and the
+    cleaned text round-trips through md5."""
+    from k2_18_spark.operators.c4_filters import c4_filter
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    l2 = (
+        F.when(F.pmod(did, F.lit(4)) == 0,
+               F.lit("enable javascript today please."))
+        .when(F.pmod(did, F.lit(4)) == 1, F.lit("no terminal punct line"))
+        .when(F.pmod(did, F.lit(4)) == 2,
+              F.lit("this brace { line fails."))
+        .otherwise(F.lit("A perfectly fine extra sentence."))
+    )
+    text2 = F.concat_ws(
+        "\n",
+        F.concat(F.substring("text", 1, 40), F.lit(".")),
+        l2,
+        F.concat(F.lit("Body sentence number "), did.cast("string"),
+                 F.lit(" stands.")),
+        F.when(F.pmod(did, F.lit(5)) == 0,
+               F.lit("This site uses cookies daily."))
+        .otherwise(F.concat(F.lit("Tail sentence "), did.cast("string"),
+                            F.lit(" ends here."))),
+    )
+    out = c4_filter(d.select("doc_id", text2.alias("text")))
+    return out.select(
+        "doc_id",
+        F.md5(F.encode("text_clean", "UTF-8")).alias("clean_md5"),
+        "n_lines_kept",
+        "n_lines_dropped",
+        "n_words",
+        "keep",
+    )
+
+
 def q_doc_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mixture sampling (operators/mixing.py): per-source
     rates 0.0 / 0.5 / 1.0 / 2.3 by source index mod 4 — exercising
@@ -2548,6 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": q_doc_pii_scrub,
         "graph_simrank": q_graph_simrank,
         "doc_mix_sample": q_doc_mix_sample,
+        "doc_c4_filter": q_doc_c4_filter,
         "doc_pack_seqs": q_doc_pack_seqs,
         "doc_par_dedup": q_doc_par_dedup,
         "host_boilerplate": q_host_boilerplate,
@@ -5190,6 +5233,71 @@ def oracle_sql() -> dict[str, str]:
             FROM hb JOIN hd USING (host)
             WHERE hd.host_docs >= 10
               AND ROUND(hb.df_docs / hd.host_docs, 6) >= 0.3
+        """,
+        "doc_c4_filter": """
+            WITH t AS MATERIALIZED (
+                SELECT doc_id,
+                       substr(text, 1, 40) || '.' || chr(10)
+                       || CASE doc_id % 4
+                              WHEN 0 THEN 'enable javascript today please.'
+                              WHEN 1 THEN 'no terminal punct line'
+                              WHEN 2 THEN 'this brace { line fails.'
+                              ELSE 'A perfectly fine extra sentence.'
+                          END || chr(10)
+                       || 'Body sentence number ' || doc_id || ' stands.'
+                       || chr(10)
+                       || CASE WHEN doc_id % 5 = 0 THEN
+                              'This site uses cookies daily.'
+                          ELSE 'Tail sentence ' || doc_id || ' ends here.'
+                          END AS text
+                FROM documents
+            ),
+            l AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1)
+                           AS pos
+                FROM t
+            ),
+            n AS MATERIALIZED (
+                SELECT doc_id, pos, trim(line) AS norm FROM l
+                WHERE trim(line) <> ''
+            ),
+            ok AS MATERIALIZED (
+                SELECT doc_id, pos, norm,
+                       (regexp_matches(norm, '[.!?]["”’]?$')
+                        AND len(regexp_split_to_array(norm, '\\s+')) >= 3
+                        AND NOT contains(norm, '{')
+                        AND NOT contains(norm, '}')
+                        AND NOT (lower(norm) LIKE '%lorem ipsum%'
+                             OR lower(norm) LIKE '%terms of use%'
+                             OR lower(norm) LIKE '%privacy policy%'
+                             OR lower(norm) LIKE '%cookie policy%'
+                             OR lower(norm) LIKE '%uses cookies%'
+                             OR lower(norm) LIKE '%javascript%')) AS ok
+                FROM n
+            ),
+            agg AS (
+                SELECT doc_id,
+                       COALESCE(array_to_string(
+                           list(norm ORDER BY pos) FILTER (WHERE ok),
+                           chr(10)), '') AS text_clean,
+                       count(*) FILTER (WHERE ok) AS k,
+                       count(*) FILTER (WHERE NOT ok) AS d,
+                       COALESCE(sum(len(regexp_split_to_array(norm,
+                           '\\s+'))) FILTER (WHERE ok), 0) AS w,
+                       COALESCE(max(len(norm)) FILTER (WHERE ok), 0)
+                           AS maxl
+                FROM ok GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   md5(COALESCE(agg.text_clean, '')) AS clean_md5,
+                   CAST(COALESCE(k, 0) AS BIGINT) AS n_lines_kept,
+                   CAST(COALESCE(d, 0) AS BIGINT) AS n_lines_dropped,
+                   CAST(COALESCE(w, 0) AS BIGINT) AS n_words,
+                   (COALESCE(k, 0) >= 3 AND COALESCE(maxl, 0) <= 2000
+                    AND COALESCE(w, 0) >= 5) AS keep
+            FROM t LEFT JOIN agg USING (doc_id)
         """,
         "doc_mix_sample": f"""
             WITH b AS (
