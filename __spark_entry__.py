@@ -2500,6 +2500,100 @@ def q_graph_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/sessions.py) of the events
+    table at an 8-hour gap (the corpus' median inter-event gap is ~7h,
+    so both continuations and breaks are exercised on every user) +
+    the per-session rollup. ONE user_id shuffle serves the lag window,
+    the running session counter, and the stats groupBy. The DuckDB
+    twin is the classic SQL-window formulation (lag + conditional
+    cumsum); timestamps compare as fixed-format UTC strings and epoch
+    math is floored to whole seconds on both sides."""
+    from k2_18_spark.operators.sessions import session_stats, sessionize
+
+    ev = _load(spark, sf_dir, "events")
+    st = session_stats(sessionize(ev, gap_seconds=28800))
+    return st.select(
+        "user_id",
+        "session_seq",
+        "session_id",
+        "n_events",
+        F.date_format("started", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "started"
+        ),
+        F.date_format("ended", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ended"),
+        "duration_sec",
+        "total_value",
+        "n_event_types",
+    )
+
+
+def _gopher_text() -> F.Column:
+    """Deterministic multi-line doc body with a per-doc_id schedule of
+    Gopher violations: repeated lines (%3=0), a dominant 2-gram line
+    (%4=1), a repeated 5-gram run (%4=2), bullet lines (%5=0) and a
+    stopword-rich base line — so every quality gate and every
+    repetition fraction takes non-trivial values across the corpus.
+    The DuckDB twins rebuild the same text arithmetically."""
+    did = F.col("doc_id")
+    base = F.concat(
+        F.lit("The data of the web and that crawl have signal with "),
+        F.lit("value to be mined here "),
+        did.cast("string"),
+        F.lit("."),
+    )
+    rep = F.when(
+        F.pmod(did, F.lit(3)) == 0, F.lit("\nrepeat this line\nrepeat this line")
+    ).otherwise(F.concat(F.lit("\nunique tail "), did.cast("string")))
+    gram = (
+        F.when(
+            F.pmod(did, F.lit(4)) == 1,
+            F.lit("\nhot dog hot dog hot dog hot dog stand"),
+        )
+        .when(
+            F.pmod(did, F.lit(4)) == 2,
+            F.lit("\nalpha beta gamma delta epsilon alpha beta gamma delta"
+                  " epsilon close"),
+        )
+        .otherwise(F.concat(F.lit("\nplain words row "), did.cast("string")))
+    )
+    bullet = F.when(
+        F.pmod(did, F.lit(5)) == 0, F.lit("\n- bullet point item")
+    ).otherwise(F.lit("\nclosing sentence stands alone..."))
+    return F.concat(base, rep, gram, bullet)
+
+
+def q_doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher scalar quality gates (operators/gopher.py) — word count,
+    mean word length, symbol ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction, stop-word hits — over the planted-
+    violation corpus. Pure codegen column expressions (no shuffle);
+    the DuckDB twin replays each gate with list functions over the
+    same split."""
+    from k2_18_spark.operators.gopher import gopher_quality
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", _gopher_text().alias("text")
+    )
+    return gopher_quality(d)
+
+
+def q_doc_gopher_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition gates (operators/gopher.py): duplicate-line
+    fractions plus top-{2,3}-gram and dup-{5,6}-gram character mass
+    (the full n-gram set runs in pytest; the oracle replays two of
+    each family to bound SQL size). One explode + one (doc, n, gram)
+    groupBy with map-side combine. The DuckDB twin regenerates every
+    n-gram with list_slice over generate_series and matches the
+    min(-count, gram) tie-break."""
+    from k2_18_spark.operators.gopher import gopher_repetition
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", _gopher_text().alias("text")
+    )
+    return gopher_repetition(d, top_ns=(2, 3), dup_ns=(5, 6))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2598,6 +2692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule": q_frontier_schedule,
         "crawl_delta": q_crawl_delta,
         "graph_coupling": q_graph_coupling,
+        "events_sessions": q_events_sessions,
+        "doc_gopher_quality": q_doc_gopher_quality,
+        "doc_gopher_rep": q_doc_gopher_rep,
     }
 
 
@@ -2635,6 +2732,46 @@ SELECT doc_id,
            || 'copyright example.org' AS text
 FROM documents
 """
+
+# planted-violation corpus shared by the two Gopher oracles — the SQL
+# twin of __spark_entry__._gopher_text()
+_GOPHER_DOCS_SQL = """
+SELECT doc_id,
+       'The data of the web and that crawl have signal with '
+           || 'value to be mined here ' || doc_id || '.'
+       || CASE WHEN doc_id % 3 = 0
+               THEN chr(10) || 'repeat this line'
+                    || chr(10) || 'repeat this line'
+               ELSE chr(10) || 'unique tail ' || doc_id END
+       || CASE doc_id % 4
+              WHEN 1 THEN chr(10)
+                  || 'hot dog hot dog hot dog hot dog stand'
+              WHEN 2 THEN chr(10)
+                  || 'alpha beta gamma delta epsilon alpha beta gamma'
+                  || ' delta epsilon close'
+              ELSE chr(10) || 'plain words row ' || doc_id END
+       || CASE WHEN doc_id % 5 = 0
+               THEN chr(10) || '- bullet point item'
+               ELSE chr(10) || 'closing sentence stands alone...' END
+           AS text
+FROM documents
+"""
+
+# tokenized view shared by the two Gopher oracles: whitespace words +
+# trimmed non-blank lines, the same split the engine's codegen does
+_GOPHER_BASE_SQL = f"""
+            t AS MATERIALIZED ({_GOPHER_DOCS_SQL}),
+            b AS MATERIALIZED (
+                SELECT doc_id, text,
+                       list_filter(
+                           regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS ws,
+                       list_filter(
+                           list_transform(string_split(text, chr(10)),
+                                          x -> trim(x)),
+                           x -> x <> '') AS ls
+                FROM t
+            )"""
 
 # shared constant thresholds for the doc_mix_sample oracle — same
 # arithmetic the engine's stratified_sample embeds in its plan
@@ -5683,4 +5820,208 @@ def oracle_sql() -> dict[str, str]:
             )
             + ")",
         ),
+        "events_sessions": """
+            WITH s AS (
+                SELECT event_id, ts, user_id, event_type, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR floor(epoch(ts))
+                                 - floor(epoch(lag(ts) OVER w)) > 28800
+                            THEN 1 ELSE 0 END AS st
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            q AS (
+                SELECT *,
+                       CAST(SUM(st) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS session_seq
+                FROM s
+            )
+            SELECT user_id, session_seq,
+                   user_id || ':' || session_seq AS session_id,
+                   COUNT(*) AS n_events,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS started,
+                   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS ended,
+                   CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts)))
+                        AS BIGINT) AS duration_sec,
+                   ROUND(SUM(value), 6) AS total_value,
+                   COUNT(DISTINCT event_type) AS n_event_types
+            FROM q GROUP BY user_id, session_seq
+        """,
+        "doc_gopher_quality": f"""
+            WITH {_GOPHER_BASE_SQL}
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CASE WHEN len(ws) > 0 THEN ROUND(
+                       CAST(list_sum(list_transform(ws, x -> length(x)))
+                            AS DOUBLE) / len(ws), 6)
+                   ELSE 0.0 END AS mean_word_len,
+                   CASE WHEN len(ws) > 0 THEN ROUND(
+                       CAST(length(text)
+                            - length(replace(text, '#', ''))
+                            + floor((length(text)
+                                     - length(replace(text, '...', '')))
+                                    / 3)
+                            + length(text)
+                            - length(replace(text, '…', '')) AS DOUBLE)
+                       / len(ws), 6)
+                   ELSE 0.0 END AS symbol_ratio,
+                   CASE WHEN len(ls) > 0 THEN ROUND(
+                       CAST(len(list_filter(ls,
+                                x -> starts_with(x, '-')
+                                  OR starts_with(x, '*')
+                                  OR starts_with(x, '•'))) AS DOUBLE)
+                       / len(ls), 6)
+                   ELSE 0.0 END AS bullet_frac,
+                   CASE WHEN len(ls) > 0 THEN ROUND(
+                       CAST(len(list_filter(ls,
+                                x -> x LIKE '%...' OR x LIKE '%…'))
+                            AS DOUBLE) / len(ls), 6)
+                   ELSE 0.0 END AS ellipsis_frac,
+                   CASE WHEN len(ws) > 0 THEN ROUND(
+                       CAST(len(list_filter(ws,
+                                x -> regexp_matches(x, '[A-Za-z]')))
+                            AS DOUBLE) / len(ws), 6)
+                   ELSE 0.0 END AS alpha_frac,
+                   CAST(len(list_filter(
+                       ['the', 'be', 'to', 'of', 'and', 'that', 'have',
+                        'with'],
+                       s -> list_contains(
+                           list_transform(ws, x -> lower(x)), s)))
+                       AS BIGINT) AS stopword_hits,
+                   (len(ws) BETWEEN 50 AND 100000
+                    AND CASE WHEN len(ws) > 0 THEN ROUND(
+                            CAST(list_sum(list_transform(
+                                 ws, x -> length(x))) AS DOUBLE)
+                            / len(ws), 6) ELSE 0.0 END
+                        BETWEEN 3.0 AND 10.0
+                    AND CASE WHEN len(ws) > 0 THEN ROUND(
+                            CAST(length(text)
+                                 - length(replace(text, '#', ''))
+                                 + floor((length(text)
+                                          - length(replace(
+                                              text, '...', ''))) / 3)
+                                 + length(text)
+                                 - length(replace(text, '…', ''))
+                                 AS DOUBLE) / len(ws), 6)
+                        ELSE 0.0 END <= 0.1
+                    AND CASE WHEN len(ls) > 0 THEN ROUND(
+                            CAST(len(list_filter(ls,
+                                     x -> starts_with(x, '-')
+                                       OR starts_with(x, '*')
+                                       OR starts_with(x, '•')))
+                                 AS DOUBLE) / len(ls), 6)
+                        ELSE 0.0 END <= 0.9
+                    AND CASE WHEN len(ls) > 0 THEN ROUND(
+                            CAST(len(list_filter(ls,
+                                     x -> x LIKE '%...' OR x LIKE '%…'))
+                                 AS DOUBLE) / len(ls), 6)
+                        ELSE 0.0 END <= 0.3
+                    AND CASE WHEN len(ws) > 0 THEN ROUND(
+                            CAST(len(list_filter(ws,
+                                     x -> regexp_matches(
+                                         x, '[A-Za-z]'))) AS DOUBLE)
+                            / len(ws), 6) ELSE 0.0 END >= 0.8
+                    AND len(list_filter(
+                            ['the', 'be', 'to', 'of', 'and', 'that',
+                             'have', 'with'],
+                            s -> list_contains(
+                                list_transform(ws, x -> lower(x)), s)))
+                        >= 2) AS keep_quality
+            FROM b
+        """,
+        "doc_gopher_rep": f"""
+            WITH {_GOPHER_BASE_SQL},
+            lines AS MATERIALIZED (
+                SELECT doc_id,
+                       len(ls) AS n_lines,
+                       COALESCE(list_sum(list_transform(
+                           ls, x -> length(x))), 0) AS line_chars,
+                       len(list_distinct(ls)) AS n_dist,
+                       COALESCE(list_sum(list_transform(
+                           list_distinct(ls),
+                           d -> (len(list_filter(ls, x -> x = d)) - 1)
+                                * length(d))), 0) AS dup_chars
+                FROM b
+            ),
+            tc AS MATERIALIZED (
+                SELECT doc_id,
+                       length(array_to_string(ws, ' ')) AS text_chars
+                FROM b
+            ),
+            g AS MATERIALIZED (
+                SELECT doc_id, n,
+                       array_to_string(
+                           list_slice(ws, i, i + n - 1), ' ') AS gram
+                FROM (
+                    SELECT doc_id, ws, n,
+                           unnest(generate_series(
+                               1, len(ws) - n + 1)) AS i
+                    FROM b, (VALUES (2), (3), (5), (6)) ns(n)
+                )
+            ),
+            c AS MATERIALIZED (
+                SELECT doc_id, n, gram, COUNT(*) AS c
+                FROM g GROUP BY doc_id, n, gram
+            ),
+            topg AS (
+                SELECT doc_id, n, gram, c FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY doc_id, n
+                        ORDER BY c DESC, gram) AS rn
+                    FROM c WHERE n IN (2, 3)
+                ) WHERE rn = 1
+            ),
+            dupg AS (
+                SELECT doc_id, n,
+                       SUM(CASE WHEN c > 1
+                                THEN (c - 1) * length(gram)
+                                ELSE 0 END) AS d
+                FROM c WHERE n IN (5, 6) GROUP BY doc_id, n
+            ),
+            m AS (
+                SELECT l.doc_id,
+                       CASE WHEN l.n_lines > 0 THEN ROUND(
+                           CAST(l.n_lines - l.n_dist AS DOUBLE)
+                           / l.n_lines, 6) ELSE 0.0 END
+                           AS dup_line_frac,
+                       CASE WHEN l.line_chars > 0 THEN ROUND(
+                           CAST(l.dup_chars AS DOUBLE)
+                           / l.line_chars, 6) ELSE 0.0 END
+                           AS dup_line_char_frac,
+                       CASE WHEN tc.text_chars > 0 THEN ROUND(
+                           CAST(COALESCE(t2.c * length(t2.gram), 0)
+                                AS DOUBLE) / tc.text_chars, 6)
+                       ELSE 0.0 END AS top2gram_char_frac,
+                       CASE WHEN tc.text_chars > 0 THEN ROUND(
+                           CAST(COALESCE(t3.c * length(t3.gram), 0)
+                                AS DOUBLE) / tc.text_chars, 6)
+                       ELSE 0.0 END AS top3gram_char_frac,
+                       CASE WHEN tc.text_chars > 0 THEN ROUND(
+                           CAST(COALESCE(d5.d, 0) AS DOUBLE)
+                           / tc.text_chars, 6) ELSE 0.0 END
+                           AS dup5gram_char_frac,
+                       CASE WHEN tc.text_chars > 0 THEN ROUND(
+                           CAST(COALESCE(d6.d, 0) AS DOUBLE)
+                           / tc.text_chars, 6) ELSE 0.0 END
+                           AS dup6gram_char_frac
+                FROM lines l
+                JOIN tc USING (doc_id)
+                LEFT JOIN topg t2 ON t2.doc_id = l.doc_id AND t2.n = 2
+                LEFT JOIN topg t3 ON t3.doc_id = l.doc_id AND t3.n = 3
+                LEFT JOIN dupg d5 ON d5.doc_id = l.doc_id AND d5.n = 5
+                LEFT JOIN dupg d6 ON d6.doc_id = l.doc_id AND d6.n = 6
+            )
+            SELECT doc_id, dup_line_frac, dup_line_char_frac,
+                   top2gram_char_frac, top3gram_char_frac,
+                   dup5gram_char_frac, dup6gram_char_frac,
+                   (dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2
+                    AND top2gram_char_frac <= 0.2
+                    AND top3gram_char_frac <= 0.18
+                    AND dup5gram_char_frac <= 0.15
+                    AND dup6gram_char_frac <= 0.14)
+                       AS keep_repetition
+            FROM m
+        """,
     }
