@@ -2594,6 +2594,22 @@ def q_doc_gopher_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_repetition(d, top_ns=(2, 3), dup_ns=(5, 6))
 
 
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/lmscore.py): train a
+    unigram model over the corpus ([a-z0-9]+ tokens of lower(text),
+    MLE log-probs), score every doc by mean negative log-prob, and
+    bucket into per-language perplexity terciles (ntile ordered by
+    rounded score with doc_id tie-break). The DuckDB twin replays
+    train + score + bucketing in plain SQL; perplexity is
+    exponentiated FROM the rounded average on both sides."""
+    from k2_18_spark.operators.lmscore import lm_score, train_unigram
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return lm_score(
+        d, train_unigram(d), lang_col="lang", n_buckets=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2695,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "doc_gopher_quality": q_doc_gopher_quality,
         "doc_gopher_rep": q_doc_gopher_rep,
+        "doc_lm_score": q_doc_lm_score,
     }
 
 
@@ -6023,5 +6040,33 @@ def oracle_sql() -> dict[str, str]:
                     AND dup6gram_char_frac <= 0.14)
                        AS keep_repetition
             FROM m
+        """,
+        "doc_lm_score": """
+            WITH tok AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(
+                           lower(text), '[a-z0-9]+')) AS token
+                FROM documents
+            ),
+            cnt AS MATERIALIZED (
+                SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+            ),
+            tot AS (SELECT SUM(c) AS t, COUNT(*) AS v FROM cnt),
+            scored AS (
+                SELECT tok.doc_id, COUNT(*) AS n_tokens,
+                       ROUND(-avg(ln(cnt.c / tot.t)), 6) AS avg_neg_logp
+                FROM tok JOIN cnt USING (token), tot
+                GROUP BY tok.doc_id
+            )
+            SELECT d.doc_id, d.lang,
+                   CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   COALESCE(s.avg_neg_logp, 0.0) AS avg_neg_logp,
+                   ROUND(exp(COALESCE(s.avg_neg_logp, 0.0)), 6)
+                       AS perplexity,
+                   CAST(ntile(3) OVER (
+                       PARTITION BY d.lang
+                       ORDER BY COALESCE(s.avg_neg_logp, 0.0), d.doc_id)
+                       AS INT) AS ppl_bucket
+            FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
     }
