@@ -2610,6 +2610,20 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler-Lehman refinement (graph/wl.py), 3 directed rounds
+    on the block graph — per-vertex structural fingerprints (md5
+    labels over sorted neighbor-label multisets). The DuckDB twin
+    unrolls the three rounds with string_agg(… ORDER BY …) and the
+    same md5 chaining, so every vertex's final label is bit-exact
+    across engines."""
+    from k2_18_spark.graph.wl import wl_refinement
+
+    return wl_refinement(
+        spark, _kcore_edges(spark, sf_dir), rounds=3, directed=True
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2712,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_quality": q_doc_gopher_quality,
         "doc_gopher_rep": q_doc_gopher_rep,
         "doc_lm_score": q_doc_lm_score,
+        "graph_wl": q_graph_wl,
     }
 
 
@@ -2789,6 +2804,25 @@ _GOPHER_BASE_SQL = f"""
                            x -> x <> '') AS ls
                 FROM t
             )"""
+
+# unrolled WL refinement rounds for the graph_wl oracle: each round
+# hashes (prev label, sorted multiset of tagged neighbor labels) —
+# string_agg(x, ',' ORDER BY x) ≡ the engine's
+# array_join(array_sort(collect_list(x)), ',')
+_WL_ROUNDS_SQL = "\n".join(
+    f"""            l{r} AS MATERIALIZED (
+                SELECT l.id, md5(l.lab || '|' || COALESCE(a.ms, ''))
+                           AS lab
+                FROM l{r - 1} l LEFT JOIN (
+                    SELECT m.v,
+                           string_agg(m.tag || p.lab, ','
+                                      ORDER BY m.tag || p.lab) AS ms
+                    FROM m JOIN l{r - 1} p ON m.nbr = p.id
+                    GROUP BY m.v
+                ) a ON a.v = l.id
+            ),"""
+    for r in range(1, 4)
+)
 
 # shared constant thresholds for the doc_mix_sample oracle — same
 # arithmetic the engine's stratified_sample embeds in its plan
@@ -6068,5 +6102,30 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY COALESCE(s.avg_neg_logp, 0.0), d.doc_id)
                        AS INT) AS ppl_bucket
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "graph_wl": f"""
+            WITH e AS MATERIALIZED (
+                SELECT DISTINCT src_id AS s, dst_id AS t
+                FROM ({_KCORE_EDGES_SQL}) WHERE src_id <> dst_id
+            ),
+            vs AS (SELECT s AS id FROM e UNION SELECT t FROM e),
+            m AS MATERIALIZED (
+                SELECT t AS v, s AS nbr, 'i:' AS tag FROM e
+                UNION ALL
+                SELECT s AS v, t AS nbr, 'o:' AS tag FROM e
+            ),
+            l0 AS MATERIALIZED (
+                SELECT v.id,
+                       md5('wl0|' || COALESCE(od.c, 0) || '|'
+                           || COALESCE(idg.c, 0)) AS lab
+                FROM vs v
+                LEFT JOIN (SELECT s, COUNT(*) AS c FROM e GROUP BY s)
+                    od ON od.s = v.id
+                LEFT JOIN (SELECT t, COUNT(*) AS c FROM e GROUP BY t)
+                    idg ON idg.t = v.id
+            ),
+{_WL_ROUNDS_SQL}
+            fin AS (SELECT 1)
+            SELECT id, lab AS wl_label FROM l3
         """,
     }
