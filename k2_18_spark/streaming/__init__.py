@@ -5,3 +5,4 @@ from k2_18_spark.streaming.ingest import (  # noqa: F401
     windowed_doc_counts,
     write_stream,
 )
+from k2_18_spark.streaming.sessions import stream_sessionize  # noqa: F401
