@@ -380,7 +380,55 @@ def main() -> None:
             return dedup_paragraphs(mdocs, min_repeat=5).count()
 
         extras["parclean_docs"] = timed("par_dedup", run_parclean)
+
+        # -- corpus gates (operators/gopher.py + lmscore.py): the full
+        # Gopher quality+repetition pass (one explode of all 9 n-gram
+        # sizes + one map-side-combinable (doc,n,gram) groupBy — the
+        # repeated page body plants real duplicate-n-gram mass) and the
+        # CCNet-style unigram LM train+score pass over the same docs.
+        from k2_18_spark.operators.gopher import gopher_filter
+        from k2_18_spark.operators.lmscore import lm_score, train_unigram
+
+        timed(
+            "gopher_gates",
+            lambda: gopher_filter(pdocs).filter("keep").count(),
+        )
+        timed(
+            "lm_score",
+            lambda: lm_score(pdocs, train_unigram(pdocs)).count(),
+        )
         pdocs.unpersist()
+
+    # -- sessionization (operators/sessions.py): gap-rule sessions over
+    # a synthetic clickstream (20 events per user, deterministic jitter
+    # so ~half the per-user gaps break sessions) — one user_id Exchange
+    # serves lag + counter + rollup.
+    from k2_18_spark.operators.sessions import session_stats, sessionize
+
+    sess_n = int(os.environ.get("BENCH_SESS_N", max(20_000, int(20_000_000 * sf))))
+    if sess_n > 0:
+        sev = (
+            spark.range(sess_n)
+            .select(
+                F.col("id").alias("event_id"),
+                F.timestamp_seconds(
+                    F.lit(1700000000)
+                    + (F.col("id") % 20) * 3600
+                    + F.pmod(F.xxhash64("id"), F.lit(5400))
+                ).alias("ts"),
+                (F.col("id") / 20).cast("long").alias("user_id"),
+                F.lit("view").alias("event_type"),
+                (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)) / 100.0
+                 ).alias("value"),
+            )
+            .persist()
+        )
+        sev.count()
+        extras["sessions"] = timed(
+            "sessionize",
+            lambda: session_stats(sessionize(sev, gap_seconds=4800)).count(),
+        )
+        sev.unpersist()
 
     # -- embedding-dedup end-to-end on planted near-dup clusters
     # (synth.embedding_table: the sf embeddings have no cosine>0.6 pairs,
