@@ -2624,6 +2624,54 @@ def q_graph_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring dedup (operators/substring_dedup.py,
+    the Lee et al. 2021 ExactSubstr pass re-expressed as L-token
+    window fingerprints): docs get 10 unique lead tokens + (doc_id%4
+    == 0) a shared 12-token span + 6 unique tail tokens; at L=8 the
+    five in-span windows duplicate across ~125 docs, every window
+    crossing a unique token stays unique. keep_first retains doc 0's
+    copy. The DuckDB twin replays window hashing, the (doc,pos)
+    canonical-first rule (encoded arithmetically — pos < 1000), token
+    coverage, and the exact rebuilt text via md5."""
+    from k2_18_spark.operators.substring_dedup import dedup_substrings
+
+    did = F.col("doc_id")
+    lead = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(9)),
+            lambda i: F.concat(
+                F.lit("u"), did.cast("string"), F.lit("p"), i.cast("string")
+            ),
+        ),
+        " ",
+    )
+    tail = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(5)),
+            lambda i: F.concat(
+                F.lit("u"), did.cast("string"), F.lit("s"), i.cast("string")
+            ),
+        ),
+        " ",
+    )
+    shared = F.when(
+        F.pmod(did, F.lit(4)) == 0,
+        F.lit(" the quick brown fox jumps over the lazy dog again and again"),
+    ).otherwise(F.lit(""))
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(lead, shared, F.lit(" "), tail).alias("text"),
+    )
+    out = dedup_substrings(d, window_tokens=8)
+    return out.select(
+        "doc_id",
+        F.md5(F.encode("text_dedup", "UTF-8")).alias("dedup_md5"),
+        "n_tokens",
+        "n_tokens_dropped",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2727,6 +2775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_rep": q_doc_gopher_rep,
         "doc_lm_score": q_doc_lm_score,
         "graph_wl": q_graph_wl,
+        "doc_substr_dedup": q_doc_substr_dedup,
     }
 
 
@@ -6127,5 +6176,77 @@ def oracle_sql() -> dict[str, str]:
 {_WL_ROUNDS_SQL}
             fin AS (SELECT 1)
             SELECT id, lab AS wl_label FROM l3
+        """,
+        "doc_substr_dedup": """
+            WITH t AS MATERIALIZED (
+                SELECT doc_id,
+                       array_to_string(list_transform(
+                           generate_series(0, 9),
+                           i -> 'u' || doc_id || 'p' || i), ' ')
+                       || CASE WHEN doc_id % 4 = 0 THEN
+                              ' the quick brown fox jumps over the'
+                              || ' lazy dog again and again'
+                          ELSE '' END
+                       || ' '
+                       || array_to_string(list_transform(
+                           generate_series(0, 5),
+                           i -> 'u' || doc_id || 's' || i), ' ')
+                           AS text
+                FROM documents
+            ),
+            b AS MATERIALIZED (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS ws
+                FROM t
+            ),
+            w AS MATERIALIZED (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(
+                           list_slice(ws, i, i + 7), ' ')) AS fp
+                FROM (
+                    SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws) - 7)) AS i
+                    FROM b
+                )
+            ),
+            f AS MATERIALIZED (
+                SELECT fp, COUNT(*) AS n,
+                       min(doc_id * 1000 + pos) AS first_enc
+                FROM w GROUP BY fp
+            ),
+            dup AS MATERIALIZED (
+                SELECT w.doc_id, w.pos
+                FROM w JOIN f USING (fp)
+                WHERE f.n > 1
+                  AND w.doc_id * 1000 + w.pos <> f.first_enc
+            ),
+            tok AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(ws) AS tk,
+                       generate_subscripts(ws, 1) - 1 AS tp
+                FROM b
+            ),
+            cov AS (
+                SELECT DISTINCT tok.doc_id, tok.tp
+                FROM tok JOIN dup ON tok.doc_id = dup.doc_id
+                 AND tok.tp BETWEEN dup.pos AND dup.pos + 7
+            ),
+            kept AS (
+                SELECT tok.doc_id,
+                       string_agg(tok.tk, ' ' ORDER BY tok.tp)
+                           FILTER (WHERE cov.tp IS NULL) AS text_dedup,
+                       COUNT(*) AS n_tokens,
+                       COUNT(cov.tp) AS n_tokens_dropped
+                FROM tok LEFT JOIN cov
+                  ON tok.doc_id = cov.doc_id AND tok.tp = cov.tp
+                GROUP BY tok.doc_id
+            )
+            SELECT doc_id,
+                   md5(COALESCE(text_dedup, '')) AS dedup_md5,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_tokens_dropped AS BIGINT) AS n_tokens_dropped
+            FROM kept
         """,
     }
