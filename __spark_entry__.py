@@ -2672,6 +2672,41 @@ def q_doc_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom seen-set sketch (functions/bloom.py): build a 4096-bit /
+    k=4 filter over the even-doc_id URLs, probe every URL, and expose
+    both the per-probe verdicts AND the packed register state (as an
+    md5 over the 64 BIGINT registers) so the oracle checks bit
+    packing, not just membership semantics. The DuckDB twin replays
+    the md5-60 bit positions, bit_or register packing (bit 63 via the
+    two's-complement constant — DuckDB raises on 1<<63), and the k-way
+    AND membership test. Even rows must always probe true (no false
+    negatives by construction)."""
+    from k2_18_spark.functions.bloom import bloom_build, bloom_might_contain
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(F.lit("https://ex.org/d"), F.col("doc_id").cast("string"))
+    seen = d.filter(F.pmod("doc_id", F.lit(2)) == 0).select(url.alias("url"))
+    bf = bloom_build(seen, "url", n_bits=4096, k=4)
+    probes = d.select("doc_id", url.alias("url"))
+    out = bloom_might_contain(probes, bf, "url", n_bits=4096, k=4)
+    sig = bf.select(
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("regs", lambda x: x.cast("string"))
+            )
+        ).alias("regs_md5"),
+        "n_items",
+    )
+    return out.crossJoin(F.broadcast(sig)).select(
+        "doc_id",
+        "might_contain",
+        (F.pmod("doc_id", F.lit(2)) == 0).alias("is_seen"),
+        "regs_md5",
+        "n_items",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2776,6 +2811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score": q_doc_lm_score,
         "graph_wl": q_graph_wl,
         "doc_substr_dedup": q_doc_substr_dedup,
+        "bloom_urls": q_bloom_urls,
     }
 
 
@@ -6248,5 +6284,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_tokens AS BIGINT) AS n_tokens,
                    CAST(n_tokens_dropped AS BIGINT) AS n_tokens_dropped
             FROM kept
+        """,
+        "bloom_urls": """
+            WITH seen AS MATERIALIZED (
+                SELECT 'https://ex.org/d' || doc_id AS url
+                FROM documents WHERE doc_id % 2 = 0
+            ),
+            salts AS (SELECT unnest(generate_series(0, 3)) AS i),
+            spos AS MATERIALIZED (
+                SELECT DISTINCT
+                       CAST(CONCAT('0x', substr(
+                           md5(url || '#' || i), 1, 15)) AS BIGINT)
+                       % 4096 AS p
+                FROM seen, salts
+            ),
+            regs AS MATERIALIZED (
+                SELECT CAST(p // 64 AS INT) AS r,
+                       bit_or(CASE WHEN p % 64 = 63
+                              THEN CAST(-9223372036854775808 AS BIGINT)
+                              ELSE (1::BIGINT << CAST(p % 64 AS INT))
+                              END) AS v
+                FROM spos GROUP BY 1
+            ),
+            full_regs AS (
+                SELECT gs.x AS r, COALESCE(regs.v, 0) AS v
+                FROM generate_series(0, 63) gs(x)
+                LEFT JOIN regs ON regs.r = gs.x
+            ),
+            sig AS (
+                SELECT md5(string_agg(v::VARCHAR, ',' ORDER BY r))
+                           AS regs_md5,
+                       (SELECT COUNT(*) FROM seen) AS n_items
+                FROM full_regs
+            ),
+            ppos AS MATERIALIZED (
+                SELECT d.doc_id, s.i,
+                       CAST(CONCAT('0x', substr(
+                           md5('https://ex.org/d' || d.doc_id
+                               || '#' || s.i), 1, 15)) AS BIGINT)
+                       % 4096 AS p
+                FROM documents d, salts s
+            ),
+            verdicts AS (
+                SELECT pp.doc_id,
+                       bool_and((fr.v & CASE WHEN pp.p % 64 = 63
+                           THEN CAST(-9223372036854775808 AS BIGINT)
+                           ELSE (1::BIGINT << CAST(pp.p % 64 AS INT))
+                           END) <> 0) AS might_contain
+                FROM ppos pp
+                JOIN full_regs fr ON fr.r = CAST(pp.p // 64 AS INT)
+                GROUP BY pp.doc_id
+            )
+            SELECT v.doc_id, v.might_contain,
+                   (v.doc_id % 2 = 0) AS is_seen,
+                   sig.regs_md5,
+                   CAST(sig.n_items AS BIGINT) AS n_items
+            FROM verdicts v, sig
         """,
     }
