@@ -2707,6 +2707,25 @@ def q_bloom_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/bpe.py), 6 merge rounds over
+    the documents corpus: one corpus-wide word count, then every
+    round counts adjacent symbol pairs on the VOCAB table, picks the
+    max-count pair (lexicographic tie-break) and rewrites symbols by
+    literal non-overlapping replace. The DuckDB twin unrolls the six
+    rounds — pair explode, argmax (ORDER BY c DESC, pair LIMIT 1 ≡
+    min(struct(-c, pair))), and the same replace semantics (verified
+    equal on the overlapping ' a a a ' case) — so every learned merge
+    and its count are value-checked in order."""
+    from k2_18_spark.operators.bpe import train_bpe
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = train_bpe(spark, d, rounds=6)
+    return spark.createDataFrame(
+        merges, "round int, pair string, merged string, total long"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2812,6 +2831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_wl": q_graph_wl,
         "doc_substr_dedup": q_doc_substr_dedup,
         "bloom_urls": q_bloom_urls,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -2889,6 +2909,42 @@ _GOPHER_BASE_SQL = f"""
                            x -> x <> '') AS ls
                 FROM t
             )"""
+
+# unrolled BPE training rounds for the bpe_merges oracle: per round,
+# pair explode over the vocab symbol strings → argmax (count desc,
+# pair asc) → literal replace rewrite
+_BPE_ROUNDS_SQL = "\n".join(
+    f"""            pr{k} AS MATERIALIZED (
+                SELECT ws[i] || ' ' || ws[i + 1] AS pair, n FROM (
+                    SELECT n, ws,
+                           unnest(generate_series(1, len(ws) - 1)) AS i
+                    FROM (
+                        SELECT n, list_filter(
+                            string_split(trim(sym), ' '),
+                            x -> x <> '') AS ws
+                        FROM v{k - 1}
+                    )
+                )
+            ),
+            b{k} AS MATERIALIZED (
+                SELECT pair, SUM(n) AS c FROM pr{k} GROUP BY pair
+                ORDER BY c DESC, pair LIMIT 1
+            ),
+            v{k} AS MATERIALIZED (
+                SELECT v.word, v.n,
+                       replace(v.sym, ' ' || b.pair || ' ',
+                               ' ' || replace(b.pair, ' ', '') || ' ')
+                           AS sym
+                FROM v{k - 1} v, b{k} b
+            ),"""
+    for k in range(1, 7)
+)
+_BPE_UNION_SQL = "\n            UNION ALL ".join(
+    f"SELECT CAST({k - 1} AS INT) AS round, pair,"
+    f" replace(pair, ' ', '') AS merged, CAST(c AS BIGINT) AS total"
+    f" FROM b{k}"
+    for k in range(1, 7)
+)
 
 # unrolled WL refinement rounds for the graph_wl oracle: each round
 # hashes (prev label, sorted multiset of tagged neighbor labels) —
@@ -6340,5 +6396,23 @@ def oracle_sql() -> dict[str, str]:
                    sig.regs_md5,
                    CAST(sig.n_items AS BIGINT) AS n_items
             FROM verdicts v, sig
+        """,
+        "bpe_merges": f"""
+            WITH voc AS MATERIALIZED (
+                SELECT word, COUNT(*) AS n FROM (
+                    SELECT unnest(regexp_extract_all(
+                        lower(text), '[a-z0-9]+')) AS word
+                    FROM documents
+                ) GROUP BY word
+            ),
+            v0 AS MATERIALIZED (
+                SELECT word, n,
+                       ' ' || regexp_replace(word, '(.)', '\\1 ', 'g')
+                           AS sym
+                FROM voc
+            ),
+{_BPE_ROUNDS_SQL}
+            fin AS (SELECT 1)
+            {_BPE_UNION_SQL}
         """,
     }
