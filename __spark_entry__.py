@@ -2726,6 +2726,19 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (operators/bm25.py) of every document against the
+    query "hash join filter scan zzzunseen" (four high-df corpus
+    terms + one absent term that must contribute nothing). Lucene
+    non-negative idf, k1=1.2, b=0.75. The DuckDB twin replays tf/df/
+    idf/avgdl and the per-term saturation formula; scores round at 6
+    decimals."""
+    from k2_18_spark.operators.bm25 import bm25_score
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_score(d, "hash join filter scan zzzunseen")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2832,6 +2845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_substr_dedup": q_doc_substr_dedup,
         "bloom_urls": q_bloom_urls,
         "bpe_merges": q_bpe_merges,
+        "doc_bm25": q_doc_bm25,
     }
 
 
@@ -6414,5 +6428,43 @@ def oracle_sql() -> dict[str, str]:
 {_BPE_ROUNDS_SQL}
             fin AS (SELECT 1)
             {_BPE_UNION_SQL}
+        """,
+        "doc_bm25": """
+            WITH tok AS MATERIALIZED (
+                SELECT doc_id, unnest(regexp_extract_all(
+                    lower(text), '[a-z0-9]+')) AS token
+                FROM documents
+            ),
+            tf AS MATERIALIZED (
+                SELECT doc_id, token, COUNT(*) AS tf FROM tok
+                GROUP BY doc_id, token
+            ),
+            nd AS (SELECT COUNT(*) AS n FROM documents),
+            idf AS MATERIALIZED (
+                SELECT token, ln(1 + (nd.n - COUNT(DISTINCT doc_id) + 0.5)
+                                 / (COUNT(DISTINCT doc_id) + 0.5)) AS idf
+                FROM tok, nd
+                WHERE token IN
+                    ('hash', 'join', 'filter', 'scan', 'zzzunseen')
+                GROUP BY token, nd.n
+            ),
+            dl AS MATERIALIZED (
+                SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+            ),
+            ad AS (SELECT AVG(dl) AS a FROM dl),
+            hits AS (
+                SELECT tf.doc_id,
+                       SUM(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (1 - 0.75
+                              + 0.75 * dl.dl / ad.a))) AS s,
+                       COUNT(*) AS h
+                FROM tf JOIN idf USING (token)
+                JOIN dl USING (doc_id), ad
+                GROUP BY tf.doc_id
+            )
+            SELECT d.doc_id,
+                   ROUND(COALESCE(h.s, 0.0), 6) AS bm25,
+                   CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hit_terms
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
     }
