@@ -2739,6 +2739,66 @@ def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_score(d, "hash join filter scan zzzunseen")
 
 
+def q_hll_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog per-host distinct-URL counting (functions/hll.py):
+    ~1.9k distinct synthetic URLs per host, estimated at b=6 (m=64 —
+    the raw-estimator branch, E > 2.5m) AND b=10 (m=1024 — the
+    linear-counting branch). Output carries the estimate, the exact
+    distinct count, and an md5 over the (bucket:rho) register list,
+    so the oracle pins every register value, both estimator branches,
+    and the branch SELECTION itself."""
+    from k2_18_spark.functions.hll import hll_estimate, hll_sketch
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    urls = d.select(
+        F.concat(
+            F.lit("h"), F.pmod("doc_id", F.lit(8)).cast("string")
+        ).alias("host"),
+        F.explode(
+            F.sequence(F.lit(0), F.pmod("doc_id", F.lit(60)))
+        ).alias("j"),
+        "doc_id",
+    ).select(
+        "host",
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit(".org/d"),
+            F.col("doc_id").cast("string"), F.lit("/"),
+            F.col("j").cast("string"),
+        ).alias("url"),
+    )
+    exact = urls.groupBy("host").agg(
+        F.countDistinct("url").alias("exact_distinct")
+    )
+    parts = []
+    for b in (6, 10):
+        sk = hll_sketch(urls, "url", b=b, group_cols=["host"])
+        est = hll_estimate(sk, b=b, group_cols=["host"])
+        regs = sk.groupBy("host").agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("bucket", "rho"))
+                        ),
+                        lambda s: F.concat_ws(
+                            ":",
+                            s["bucket"].cast("string"),
+                            s["rho"].cast("string"),
+                        ),
+                    ),
+                    ",",
+                )
+            ).alias("regs_md5")
+        )
+        parts.append(
+            est.join(regs, "host").select(
+                "host", F.lit(b).alias("b"), "estimate", "regs_md5"
+            )
+        )
+    out = parts[0].unionByName(parts[1])
+    return out.join(exact, "host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2846,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_urls": q_bloom_urls,
         "bpe_merges": q_bpe_merges,
         "doc_bm25": q_doc_bm25,
+        "hll_hosts": q_hll_hosts,
     }
 
 
@@ -2959,6 +3020,44 @@ _BPE_UNION_SQL = "\n            UNION ALL ".join(
     f" FROM b{k}"
     for k in range(1, 7)
 )
+
+# HLL oracle pieces: per-b sketch + estimator SQL sharing the exact
+# double constants the engine embeds (repr round-trips the float)
+from k2_18_spark.functions.hll import _alpha as _hll_alpha  # noqa: E402
+
+
+def _hll_oracle_b(b: int) -> str:
+    m = 1 << b
+    amm = repr(_hll_alpha(m) * m * m)
+    return f"""
+            sk{b} AS MATERIALIZED (
+                SELECT host, CAST(h % {m} AS INT) AS bucket,
+                       MAX(CASE WHEN (h // {m}) = 0 THEN {60 - b + 1}
+                           ELSE {60 - b} - length(bin(h // {m})) + 1
+                           END) AS rho
+                FROM u GROUP BY host, CAST(h % {m} AS INT)
+            ),
+            ag{b} AS (
+                SELECT host, SUM(pow(2.0, -rho)) AS ps, COUNT(*) AS pc
+                FROM sk{b} GROUP BY host
+            ),
+            est{b} AS (
+                SELECT host, CAST({b} AS INT) AS b,
+                       ROUND(CASE WHEN ({amm} / (ps + ({m} - pc)))
+                                  <= {2.5 * m}
+                              AND ({m} - pc) > 0
+                             THEN {float(m)} * ln({float(m)} / ({m} - pc))
+                             ELSE {amm} / (ps + ({m} - pc)) END, 6)
+                           AS estimate
+                FROM ag{b}
+            ),
+            regs{b} AS (
+                SELECT host,
+                       md5(string_agg(bucket || ':' || rho, ','
+                                      ORDER BY bucket)) AS regs_md5
+                FROM sk{b} GROUP BY host
+            ),"""
+
 
 # unrolled WL refinement rounds for the graph_wl oracle: each round
 # hashes (prev label, sorted multiset of tagged neighbor labels) —
@@ -6466,5 +6565,41 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(COALESCE(h.s, 0.0), 6) AS bm25,
                    CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hit_terms
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "hll_hosts": f"""
+            WITH u AS MATERIALIZED (
+                SELECT host, url,
+                       CAST(CONCAT('0x', substr(md5(url), 1, 15))
+                            AS BIGINT) AS h
+                FROM (
+                    SELECT 'h' || (doc_id % 8) AS host,
+                           'https://h' || (doc_id % 8) || '.org/d'
+                               || doc_id || '/' || j AS url
+                    FROM (
+                        SELECT doc_id,
+                               unnest(generate_series(
+                                   0, doc_id % 60)) AS j
+                        FROM documents
+                    )
+                )
+            ),
+            exact AS (
+                SELECT host, COUNT(DISTINCT url) AS exact_distinct
+                FROM u GROUP BY host
+            ),
+{_hll_oracle_b(6)}
+{_hll_oracle_b(10)}
+            fin AS (SELECT 1)
+            SELECT e.host, e.b, e.estimate, r.regs_md5,
+                   CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+            FROM (
+                SELECT * FROM est6 UNION ALL SELECT * FROM est10
+            ) e
+            JOIN (
+                SELECT host, CAST(6 AS INT) AS b, regs_md5 FROM regs6
+                UNION ALL
+                SELECT host, CAST(10 AS INT) AS b, regs_md5 FROM regs10
+            ) r USING (host, b)
+            JOIN exact x USING (host)
         """,
     }
