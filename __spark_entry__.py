@@ -2799,6 +2799,34 @@ def q_hll_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.join(exact, "host")
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel (operators/funnels.py): view → click →
+    purchase with a 2-day conversion window from the matched view.
+    Each step is an argmin over (ts, event_id) strictly after the
+    previous match — the DuckDB twin replays it with row_number
+    windows and the same floor-second horizon arithmetic; timestamps
+    compare as fixed-format UTC strings."""
+    from k2_18_spark.operators.funnels import funnel
+
+    ev = _load(spark, sf_dir, "events")
+    out = funnel(
+        ev, ["view", "click", "purchase"], within_seconds=172800
+    )
+    return out.select(
+        "user_id",
+        F.date_format("step1_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "step1_ts"
+        ),
+        F.date_format("step2_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "step2_ts"
+        ),
+        F.date_format("step3_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "step3_ts"
+        ),
+        "steps_completed",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2907,6 +2935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "doc_bm25": q_doc_bm25,
         "hll_hosts": q_hll_hosts,
+        "events_funnel": q_events_funnel,
     }
 
 
@@ -6601,5 +6630,49 @@ def oracle_sql() -> dict[str, str]:
                 SELECT host, CAST(10 AS INT) AS b, regs_md5 FROM regs10
             ) r USING (host, b)
             JOIN exact x USING (host)
+        """,
+        "events_funnel": """
+            WITH e AS MATERIALIZED (
+                SELECT user_id AS u, ts AS t, event_type AS y,
+                       event_id AS ev
+                FROM events
+            ),
+            s1 AS MATERIALIZED (
+                SELECT u, t AS t1 FROM (
+                    SELECT u, t, row_number() OVER (
+                        PARTITION BY u ORDER BY t, ev) AS rn
+                    FROM e WHERE y = 'view'
+                ) WHERE rn = 1
+            ),
+            s2 AS MATERIALIZED (
+                SELECT u, t2 FROM (
+                    SELECT e.u, e.t AS t2, row_number() OVER (
+                        PARTITION BY e.u ORDER BY e.t, e.ev) AS rn
+                    FROM e JOIN s1 USING (u)
+                    WHERE e.y = 'click' AND e.t > s1.t1
+                      AND floor(epoch(e.t)) - floor(epoch(s1.t1))
+                          <= 172800
+                ) WHERE rn = 1
+            ),
+            s3 AS MATERIALIZED (
+                SELECT u, t3 FROM (
+                    SELECT e.u, e.t AS t3, row_number() OVER (
+                        PARTITION BY e.u ORDER BY e.t, e.ev) AS rn
+                    FROM e JOIN s2 USING (u) JOIN s1 USING (u)
+                    WHERE e.y = 'purchase' AND e.t > s2.t2
+                      AND floor(epoch(e.t)) - floor(epoch(s1.t1))
+                          <= 172800
+                ) WHERE rn = 1
+            )
+            SELECT s1.u AS user_id,
+                   strftime(s1.t1, '%Y-%m-%d %H:%M:%S.%f') AS step1_ts,
+                   strftime(s2.t2, '%Y-%m-%d %H:%M:%S.%f') AS step2_ts,
+                   strftime(s3.t3, '%Y-%m-%d %H:%M:%S.%f') AS step3_ts,
+                   CAST(1 + (s2.t2 IS NOT NULL)::INT
+                          + (s3.t3 IS NOT NULL)::INT AS INT)
+                       AS steps_completed
+            FROM s1
+            LEFT JOIN s2 ON s1.u = s2.u
+            LEFT JOIN s3 ON s1.u = s3.u
         """,
     }
