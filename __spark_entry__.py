@@ -2827,6 +2827,18 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/winnow.py, MOSS SIGMOD'03):
+    k=5 char-grams, window w=4, rightmost-min tie rule, over the real
+    document texts. The DuckDB twin replays normalization, md5 k-gram
+    hashing, and the per-window argmin via row_number (fp ASC, i
+    DESC) — every selected (pos, fp) of every doc is value-checked."""
+    from k2_18_spark.operators.winnow import winnow_fingerprints
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_fingerprints(d, k=5, w=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2936,6 +2948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25": q_doc_bm25,
         "hll_hosts": q_hll_hosts,
         "events_funnel": q_events_funnel,
+        "doc_winnow": q_doc_winnow,
     }
 
 
@@ -6674,5 +6687,39 @@ def oracle_sql() -> dict[str, str]:
             FROM s1
             LEFT JOIN s2 ON s1.u = s2.u
             LEFT JOIN s3 ON s1.u = s3.u
+        """,
+        "doc_winnow": """
+            WITH t AS MATERIALIZED (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ',
+                                           'g')) AS nt
+                FROM documents
+            ),
+            h AS MATERIALIZED (
+                SELECT doc_id, i, md5(substr(nt, i, 5)) AS fp
+                FROM (
+                    SELECT doc_id, nt,
+                           unnest(generate_series(
+                               1, length(nt) - 4)) AS i
+                    FROM t
+                )
+            ),
+            wins AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(generate_series(
+                           0, length(nt) - 8)) AS s
+                FROM t
+            ),
+            cand AS MATERIALIZED (
+                SELECT w.doc_id, w.s, h.fp, h.i - 1 AS pos,
+                       row_number() OVER (
+                           PARTITION BY w.doc_id, w.s
+                           ORDER BY h.fp ASC, h.i DESC) AS rn
+                FROM wins w
+                JOIN h ON h.doc_id = w.doc_id
+                      AND h.i - 1 BETWEEN w.s AND w.s + 3
+            )
+            SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
+            FROM cand WHERE rn = 1
         """,
     }
