@@ -2839,6 +2839,29 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(d, k=5, w=4)
 
 
+def q_doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic sampling (operators/mixing.py
+    priority_sample): 10 docs per language stratum by md5 priority
+    order — uniform without replacement, byte-stable across runs and
+    corpus edits. The DuckDB twin replays the row_number over
+    (md5 priority, doc_id)."""
+    from k2_18_spark.operators.mixing import priority_sample
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return priority_sample(d, k=10, strata_cols=["lang"])
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/retention.py): users
+    cohorted by first-event week (Monday-start date_trunc both
+    engines), actives per (cohort, week offset) with offsets from
+    floor-second epochs of the truncated weeks — exact integer
+    arithmetic, no calendar ambiguity."""
+    from k2_18_spark.operators.retention import cohort_retention
+
+    return cohort_retention(_load(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2949,6 +2972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_hosts": q_hll_hosts,
         "events_funnel": q_events_funnel,
         "doc_winnow": q_doc_winnow,
+        "doc_priority_sample": q_doc_priority_sample,
+        "events_retention": q_events_retention,
     }
 
 
@@ -6721,5 +6746,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
             FROM cand WHERE rn = 1
+        """,
+        "doc_priority_sample": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang, row_number() OVER (
+                    PARTITION BY lang
+                    ORDER BY md5('psample|' || doc_id), doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 10
+        """,
+        "events_retention": """
+            WITH ew AS MATERIALIZED (
+                SELECT user_id AS u, date_trunc('week', ts) AS w
+                FROM events
+            ),
+            first AS (
+                SELECT u, MIN(w) AS cohort FROM ew GROUP BY u
+            ),
+            sizes AS (
+                SELECT cohort, COUNT(*) AS cohort_size FROM first
+                GROUP BY cohort
+            ),
+            act AS (
+                SELECT f.cohort,
+                       CAST((floor(epoch(d.w)) - floor(epoch(f.cohort)))
+                            / 604800 AS BIGINT) AS week_offset,
+                       COUNT(DISTINCT d.u) AS active_users
+                FROM (SELECT DISTINCT u, w FROM ew) d
+                JOIN first f USING (u)
+                GROUP BY f.cohort, week_offset
+            )
+            SELECT CAST(a.cohort AS DATE) AS cohort_week,
+                   a.week_offset,
+                   a.active_users,
+                   CAST(s.cohort_size AS BIGINT) AS cohort_size,
+                   ROUND(a.active_users / s.cohort_size, 6)
+                       AS retention
+            FROM act a JOIN sizes s USING (cohort)
         """,
     }

@@ -138,3 +138,46 @@ def pack_sequences(
         schema=f"{key} string, seq_id long, n_docs long, n_tokens long,"
         " doc_ids string",
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    strata_cols: list[str] | None = None,
+    seed: str = "psample",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-k uniform sampling without replacement, deterministic —
+    the complement of ``stratified_sample`` (rate-based, expected
+    size): keep exactly min(k, |stratum|) rows per stratum, chosen by
+    ``md5(seed | id)`` priority order with the id as tie-break.
+
+    Priority sampling by a uniform hash IS a uniform sample without
+    replacement (every id's draw is i.i.d. uniform over the hex
+    space), and — the property that matters for corpus curation —
+    it is STABLE: adding or removing other rows never changes whether
+    a surviving row would have been picked among its priority
+    predecessors, and re-runs pick byte-identical samples.
+
+    Scale shape: one window over the strata key (a single hash
+    partitioning); rank truncation at k means the sort can use a
+    per-partition top-k heap (Spark's WindowGroupLimit pushes the
+    rank filter down since 3.5). Replayable in any engine with
+    row_number.
+    """
+    pri = F.md5(
+        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
+    )
+    from pyspark.sql import Window
+
+    part = strata_cols or []
+    w = (
+        Window.partitionBy(*part).orderBy(pri, F.col(id_col))
+        if part
+        else Window.partitionBy(F.lit(1)).orderBy(pri, F.col(id_col))
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
