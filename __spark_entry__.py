@@ -2862,6 +2862,31 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(_load(spark, sf_dir, "events"))
 
 
+def q_walk_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPMI co-occurrence scores (graph/walks.py ppmi_scores) over
+    the ``walk_skipgrams`` pair table — the count-based embedding
+    matrix SGNS implicitly factorizes (Levy & Goldberg 2014). The
+    DuckDB twin extends the walk-replay oracle with the two marginal
+    rollups and the ln ratio, rounded at 6 decimals."""
+    from k2_18_spark.graph.walks import (
+        ppmi_scores,
+        random_walks,
+        skipgram_pairs,
+    )
+
+    pairs = skipgram_pairs(
+        random_walks(
+            spark,
+            _kcore_edges(spark, sf_dir),
+            walk_length=8,
+            num_walks=2,
+            seed="wseed",
+        ),
+        window=2,
+    )
+    return ppmi_scores(pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2974,6 +2999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow": q_doc_winnow,
         "doc_priority_sample": q_doc_priority_sample,
         "events_retention": q_events_retention,
+        "walk_ppmi": q_walk_ppmi,
     }
 
 
@@ -5664,6 +5690,48 @@ def oracle_sql() -> dict[str, str]:
               ON a.walk_id = b.walk_id
              AND abs(a.st - b.st) <= 2 AND a.st <> b.st
             GROUP BY 1, 2
+        """,
+        "walk_ppmi": f"""
+            WITH raw AS MATERIALIZED ({_KCORE_EDGES_SQL}),
+            e AS MATERIALIZED (
+                SELECT DISTINCT src_id AS s, dst_id AS t FROM raw
+                WHERE src_id <> dst_id
+            ),
+            s0 AS (
+                SELECT v.id || '#' || w.k AS walk_id, v.id AS cur
+                FROM (SELECT DISTINCT s AS id FROM e) v
+                CROSS JOIN (VALUES (0), (1)) w(k)
+            ),
+{_WALK_STEPS_SQL}
+            steps AS MATERIALIZED (
+                SELECT walk_id, 0 AS st, cur FROM s0
+{_WALK_UNION_SQL}
+            ),
+            pairs AS MATERIALIZED (
+                SELECT a.cur AS center, b.cur AS context,
+                       CAST(count(*) AS BIGINT) AS n_pairs
+                FROM steps a JOIN steps b
+                  ON a.walk_id = b.walk_id
+                 AND abs(a.st - b.st) <= 2 AND a.st <> b.st
+                GROUP BY 1, 2
+            ),
+            tot AS (SELECT SUM(n_pairs) AS n FROM pairs),
+            cm AS (
+                SELECT center, SUM(n_pairs) AS nc FROM pairs
+                GROUP BY center
+            ),
+            xm AS (
+                SELECT context, SUM(n_pairs) AS nx FROM pairs
+                GROUP BY context
+            )
+            SELECT p.center, p.context, p.n_pairs,
+                   ROUND(ln(p.n_pairs * tot.n / (cm.nc * xm.nx)), 6)
+                       AS pmi,
+                   ROUND(GREATEST(
+                       ln(p.n_pairs * tot.n / (cm.nc * xm.nx)), 0.0),
+                       6) AS ppmi
+            FROM pairs p
+            JOIN cm USING (center) JOIN xm USING (context), tot
         """,
         "doc_par_dedup": f"""
             WITH t AS MATERIALIZED ({_PARCLEAN_DOCS_SQL}),

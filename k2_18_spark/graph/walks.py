@@ -204,3 +204,43 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def ppmi_scores(pairs: DataFrame, shift: float = 0.0) -> DataFrame:
+    """Skip-gram pair counts → PPMI co-occurrence scores
+    (center, context, n_pairs, pmi, ppmi).
+
+    Positive pointwise mutual information over the pair distribution
+    — ``pmi = ln(#(c,x) · N / (#(c) · #(x)))``, ``ppmi = max(pmi −
+    shift, 0)`` — is the classic count-based embedding matrix: Levy &
+    Goldberg (NIPS 2014) showed word2vec skip-gram with negative
+    sampling implicitly factorizes exactly this matrix (shift =
+    ln(k) for k negative samples). Feeding ``skipgram_pairs`` output
+    through this gives the statistics a count-based graph-embedding
+    trainer (SVD of the PPMI matrix) consumes, with no training loop.
+
+    Scale shape: two map-side-combinable marginal rollups (center,
+    context — each O(|V|)) joined back onto the pair table on its own
+    keys, one scalar total via a broadcast 1-row cross join. Scores
+    round at 6 decimals (the house oracle contract).
+    """
+    totals = pairs.agg(F.sum("n_pairs").alias("_n"))
+    cm = pairs.groupBy("center").agg(F.sum("n_pairs").alias("_nc"))
+    xm = pairs.groupBy("context").agg(F.sum("n_pairs").alias("_nx"))
+    pmi = F.log(
+        F.col("n_pairs") * F.col("_n") / (F.col("_nc") * F.col("_nx"))
+    )
+    return (
+        pairs.join(cm, "center")
+        .join(xm, "context")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "center",
+            "context",
+            "n_pairs",
+            F.round(pmi, 6).alias("pmi"),
+            F.round(
+                F.greatest(pmi - shift, F.lit(0.0)), 6
+            ).alias("ppmi"),
+        )
+    )

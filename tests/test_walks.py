@@ -172,3 +172,29 @@ def test_weighted_bias_on_planted_graph(spark):
     picks = [r["seq"][1] for r in rows]
     frac_heavy = picks.count("heavy") / len(picks)
     assert frac_heavy > 0.9
+
+
+def test_ppmi_matches_replica(spark):
+    """ppmi_scores over a hand-built pair table vs direct math."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from k2_18_spark.graph.walks import ppmi_scores
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 4), ("a", "c", 1), ("b", "a", 4), ("c", "a", 1)],
+        "center string, context string, n_pairs long",
+    )
+    out = {
+        (r.center, r.context): (r.pmi, r.ppmi)
+        for r in ppmi_scores(pairs, shift=1.0).collect()
+    }
+    n = 10
+    marg_c = {"a": 5, "b": 4, "c": 1}
+    marg_x = {"b": 4, "c": 1, "a": 5}
+    for (c, x), cnt in [(("a", "b"), 4), (("a", "c"), 1),
+                        (("b", "a"), 4), (("c", "a"), 1)]:
+        pmi = math.log(cnt * n / (marg_c[c] * marg_x[x]))
+        assert out[(c, x)][0] == round(pmi, 6), (c, x)
+        assert out[(c, x)][1] == round(max(pmi - 1.0, 0.0), 6), (c, x)
