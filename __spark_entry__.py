@@ -2887,6 +2887,30 @@ def q_walk_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppmi_scores(pairs)
 
 
+def q_graph_attr_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nominal attribute mixing matrix + Newman assortativity
+    (graph/stats.py) on the block graph with 5 planted classes
+    (doc_id%5): block-local edges make same-class linking structure.
+    The DuckDB twin replays the endpoint tagging, pair rollup,
+    marginals and the (tr − Σab)/(1 − Σab) coefficient from the same
+    rounded fractions."""
+    from k2_18_spark.graph.stats import (
+        attribute_assortativity,
+        attribute_mixing_matrix,
+    )
+
+    edges = _kcore_edges(spark, sf_dir)
+    attrs = _load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("D"), F.col("doc_id")).alias("id"),
+        F.concat(F.lit("c"), F.pmod("doc_id", F.lit(5)).cast("string")).alias(
+            "attr"
+        ),
+    )
+    m = attribute_mixing_matrix(edges, attrs)
+    r = attribute_assortativity(spark, edges, attrs)
+    return m.withColumn("assortativity", F.round(F.lit(float(r)), 6))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -3000,6 +3024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_priority_sample": q_doc_priority_sample,
         "events_retention": q_events_retention,
         "walk_ppmi": q_walk_ppmi,
+        "graph_attr_mixing": q_graph_attr_mixing,
     }
 
 
@@ -6851,5 +6876,50 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(a.active_users / s.cohort_size, 6)
                        AS retention
             FROM act a JOIN sizes s USING (cohort)
+        """,
+        "graph_attr_mixing": f"""
+            WITH raw AS MATERIALIZED ({_KCORE_EDGES_SQL}),
+            at AS MATERIALIZED (
+                SELECT 'D' || doc_id AS id,
+                       'c' || (doc_id % 5) AS attr
+                FROM documents
+            ),
+            m AS MATERIALIZED (
+                SELECT a.attr AS attr_src, b.attr AS attr_dst,
+                       COUNT(*) AS n_edges
+                FROM raw e
+                JOIN at a ON e.src_id = a.id
+                JOIN at b ON e.dst_id = b.id
+                GROUP BY 1, 2
+            ),
+            tot AS (SELECT SUM(n_edges) AS t FROM m),
+            mm AS MATERIALIZED (
+                SELECT attr_src, attr_dst, n_edges,
+                       ROUND(n_edges / tot.t, 6) AS frac
+                FROM m, tot
+            ),
+            mf AS MATERIALIZED (
+                -- exact-count fractions for the coefficient (the
+                -- rounded display frac loses ~1e-6 vs nx)
+                SELECT attr_src, attr_dst, n_edges / tot.t AS f
+                FROM m, tot
+            ),
+            aa AS (SELECT attr_src AS k, SUM(f) AS av FROM mf
+                   GROUP BY 1),
+            bb AS (SELECT attr_dst AS k, SUM(f) AS bv FROM mf
+                   GROUP BY 1),
+            trc AS (SELECT COALESCE(SUM(f), 0) AS tr FROM mf
+                    WHERE attr_src = attr_dst),
+            sab AS (SELECT SUM(aa.av * COALESCE(bb.bv, 0)) AS sab
+                    FROM aa LEFT JOIN bb USING (k)),
+            rr AS (
+                SELECT CASE WHEN abs(1 - sab.sab) < 1e-15 THEN 1.0
+                       ELSE (trc.tr - sab.sab) / (1 - sab.sab) END AS r
+                FROM sab, trc
+            )
+            SELECT mm.attr_src, mm.attr_dst,
+                   CAST(mm.n_edges AS BIGINT) AS n_edges, mm.frac,
+                   ROUND(rr.r, 6) AS assortativity
+            FROM mm, rr
         """,
     }

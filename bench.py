@@ -397,6 +397,27 @@ def main() -> None:
             "lm_score",
             lambda: lm_score(pdocs, train_unigram(pdocs)).count(),
         )
+
+        # -- winnowing fingerprints (operators/winnow.py): one row per
+        # char 5-gram (~330/doc) + the sliding-frame doc_id window —
+        # the MOSS sampling pass at corpus scale.
+        from k2_18_spark.operators.winnow import winnow_fingerprints
+
+        timed(
+            "winnow",
+            lambda: winnow_fingerprints(pdocs, k=5, w=4).count(),
+        )
+
+        # -- cross-doc substring dedup (operators/substring_dedup.py):
+        # the synthetic page body repeats a 48-word block corpus-wide,
+        # so the 20-token windows collapse massively in the map-side
+        # combine — the realistic shape (duplication is common).
+        from k2_18_spark.operators.substring_dedup import dedup_substrings
+
+        timed(
+            "substr_dedup",
+            lambda: dedup_substrings(pdocs, window_tokens=20).count(),
+        )
         pdocs.unpersist()
 
     # -- sessionization (operators/sessions.py): gap-rule sessions over

@@ -379,3 +379,77 @@ def powerlaw_alpha(
     # s > 0 always holds here: every term is ln(d/(d_min-0.5)) with
     # d >= d_min > d_min - 0.5
     return 1.0 + n / float(row["s"]), n
+
+
+def attribute_mixing_matrix(
+    edges: DataFrame, attrs: DataFrame, directed: bool = True
+) -> DataFrame:
+    """Mixing matrix over a nominal vertex attribute (Newman 2003,
+    "Mixing patterns in networks" §II) → (attr_src, attr_dst,
+    n_edges, frac): what fraction of edges run between each attribute
+    pair — language↔language or TLD↔TLD linking structure on a web
+    graph. ``attrs`` is (id, attr); edges whose endpoints miss an
+    attribute row are dropped (inner joins). Undirected mode counts
+    each edge in both orientations (the nx convention, which makes
+    the matrix symmetric).
+
+    Scale shape: two hash joins tagging endpoints + ONE
+    groupBy(attr pair) — the rollup output is O(|attr values|²),
+    tiny; the |E| table shuffles only through the joins.
+    """
+    e = edges.select(F.col("src_id").alias("s"), F.col("dst_id").alias("t"))
+    if not directed:
+        e = e.unionAll(
+            e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+        )
+    a = attrs.select(F.col("id").alias("s"), F.col("attr").alias("attr_src"))
+    b = attrs.select(F.col("id").alias("t"), F.col("attr").alias("attr_dst"))
+    m = (
+        e.join(a, "s")
+        .join(b, "t")
+        .groupBy("attr_src", "attr_dst")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    total = m.agg(F.sum("n_edges").alias("_tot"))
+    return m.crossJoin(F.broadcast(total)).select(
+        "attr_src",
+        "attr_dst",
+        "n_edges",
+        F.round(F.col("n_edges") / F.col("_tot"), 6).alias("frac"),
+    )
+
+
+def attribute_assortativity(
+    spark: SparkSession, edges: DataFrame, attrs: DataFrame,
+    directed: bool = True,
+) -> float:
+    """Newman's nominal assortativity coefficient r = (Σ_i e_ii −
+    Σ_i a_i b_i) / (1 − Σ_i a_i b_i), with a/b the row/column sums of
+    the mixing matrix (nx.attribute_assortativity_coefficient
+    semantics). r = 1 → perfectly assortative; 0 → random mixing;
+    r = 1 exactly when every attribute class links only to itself
+    (then the denominator is guarded — nx returns 1.0).
+
+    Driver traffic: the O(|attr values|²) matrix only.
+    """
+    m = attribute_mixing_matrix(edges, attrs, directed=directed)
+    # exact integer counts, not the display-rounded fracs — rounding
+    # at 6dp before the coefficient loses ~1e-6 of precision vs nx
+    rows = m.select("attr_src", "attr_dst", "n_edges").collect()
+    from collections import defaultdict
+
+    total = sum(r.n_edges for r in rows)
+    if total == 0:
+        return float("nan")
+    av, bv = defaultdict(float), defaultdict(float)
+    tr = 0.0
+    for r in rows:
+        f = r.n_edges / total
+        av[r.attr_src] += f
+        bv[r.attr_dst] += f
+        if r.attr_src == r.attr_dst:
+            tr += f
+    sab = sum(av[k] * bv.get(k, 0.0) for k in av)
+    if abs(1.0 - sab) < 1e-15:
+        return 1.0
+    return (tr - sab) / (1.0 - sab)

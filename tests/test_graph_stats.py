@@ -260,3 +260,46 @@ def test_powerlaw_alpha_guards(spark):
         powerlaw_alpha(spark, df, d_min=5)  # empty tail
     with pytest.raises(ValueError):
         degree_histogram(spark, df, direction="sideways")
+
+
+def test_attribute_mixing_and_assortativity(spark):
+    """Nominal assortativity vs networkx on a two-class digraph, plus
+    the perfectly-assortative guard."""
+    import networkx as nx
+    import pytest
+
+    from k2_18_spark.graph.stats import (
+        attribute_assortativity,
+        attribute_mixing_matrix,
+    )
+
+    edges = [
+        ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+        ("b1", "b2"), ("b2", "b1"),
+        ("a1", "b1"), ("b2", "a2"),
+    ]
+    attrs = {v: v[0] for e in edges for v in e}
+    edf = spark.createDataFrame(
+        [(s, t, "L", 1.0) for s, t in edges],
+        "src_id string, dst_id string, edge_type string, weight double",
+    )
+    adf = spark.createDataFrame(list(attrs.items()), "id string, attr string")
+
+    g = nx.DiGraph()
+    g.add_edges_from(edges)
+    nx.set_node_attributes(g, attrs, "cls")
+    exp = nx.attribute_assortativity_coefficient(g, "cls")
+    got = attribute_assortativity(spark, edf, adf)
+    assert got == pytest.approx(exp, abs=1e-9)
+
+    m = {
+        (r.attr_src, r.attr_dst): (r.n_edges, r.frac)
+        for r in attribute_mixing_matrix(edf, adf).collect()
+    }
+    assert m[("a", "a")][0] == 3 and m[("b", "b")][0] == 2
+    assert m[("a", "b")][0] == 1 and m[("b", "a")][0] == 1
+    assert abs(sum(v[1] for v in m.values()) - 1.0) < 1e-6
+
+    # perfectly assortative: only within-class edges → r = 1.0
+    pure = edf.filter("substr(src_id,1,1) = substr(dst_id,1,1)")
+    assert attribute_assortativity(spark, pure, adf) == 1.0
