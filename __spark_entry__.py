@@ -445,6 +445,69 @@ def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=10, dim=64)
 
 
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from k2_18_spark.operators.semdedup import kmeans
+
+    return kmeans(spark, _emb_double(spark, sf_dir), k=4, n_iter=2)
+
+
+def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from k2_18_spark.operators.semdedup import kmeans, semdedup
+
+    emb = _emb_double(spark, sf_dir)
+    return semdedup(emb, kmeans(spark, emb, k=4, n_iter=2), threshold=0.3)
+
+
+def _kmeans_oracle_cte(k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
+    """Unrolled deterministic Lloyd's k-means as a DuckDB CTE chain
+    (same contract as operators/semdedup.py: seeds = k lowest ids,
+    every centroid coordinate and distance rounded to 6dp before
+    comparison, argmin ties to the lowest centroid index, empty
+    clusters keep the previous centroid). Ends at ``af`` =
+    (vec_id, emb, cluster, dist) under the final centroids."""
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} AS (
+            SELECT vec_id, emb, cluster, dist FROM (
+                SELECT vec_id, emb, cluster, dist,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY dist ASC, cluster ASC) AS rk
+                FROM (SELECT e.vec_id, e.embedding::DOUBLE[] AS emb,
+                             c.cluster,
+                             ROUND(list_distance(
+                                 e.embedding::DOUBLE[], c.c), 6) AS dist
+                      FROM embeddings e CROSS JOIN {cent} c)
+            ) WHERE rk = 1
+        )"""
+
+    parts = [
+        f"""c0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> ROUND(x, 6)) AS c
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+        )"""
+    ]
+    for r in range(1, n_iter + 1):
+        parts.append(assign(f"a{r}", f"c{r - 1}"))
+        parts.append(
+            f"""c{r} AS (
+            SELECT p.cluster, COALESCE(m.c, p.c) AS c
+            FROM c{r - 1} p LEFT JOIN (
+                SELECT cluster, list(mean ORDER BY pos) AS c FROM (
+                    SELECT a.cluster, d.i AS pos,
+                           ROUND(AVG(a.emb[d.i]), 6) AS mean
+                    FROM a{r} a CROSS JOIN range(1, {dim + 1}) d(i)
+                    GROUP BY 1, 2
+                ) GROUP BY cluster
+            ) m USING (cluster)
+        )"""
+        )
+    parts.append(assign("af", f"c{n_iter}"))
+    return "WITH " + ",\n".join(parts)
+
+
 def _dedup_map_df(
     spark: SparkSession, sf_dir: str, candidate_fn=None
 ) -> DataFrame:
@@ -2936,6 +2999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "emb_topk": q_emb_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
+        "emb_kmeans": q_emb_kmeans,
+        "emb_semdedup": q_emb_semdedup,
         "graph_dedup_map": q_graph_dedup_map,
         "graph_prereq_depth": q_graph_prereq_depth,
         "refiner_candidates": q_refiner_candidates,
@@ -4668,6 +4733,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings c
                 CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
             ) WHERE rank <= 10
+        """,
+        "emb_kmeans": _kmeans_oracle_cte()
+        + "\nSELECT vec_id, cluster, dist FROM af",
+        "emb_semdedup": _kmeans_oracle_cte()
+        + """,
+            dropped AS (
+                SELECT DISTINCT x.vec_id
+                FROM af x JOIN af y USING (cluster)
+                WHERE x.vec_id <> y.vec_id
+                  AND ROUND(list_cosine_similarity(x.emb, y.emb), 6) >= 0.3
+                  AND (y.dist < x.dist
+                       OR (y.dist = x.dist AND y.vec_id < x.vec_id))
+            )
+            SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS keep
+            FROM af a LEFT JOIN dropped d ON a.vec_id = d.vec_id
         """,
         # closed form for the diamond-chain: raw betweenness of vertex v
         # is v·(n−1−v) (every s<v<t pair credits 1 — both diamond arms
