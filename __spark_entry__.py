@@ -2975,20 +2975,76 @@ def q_graph_attr_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order matters: the correctness harness evaluates the first
+    # 50 entries. The window below carries (a) the 13 core link-graph
+    # contract rows (pages extract->edges->pagerank->anchors, the four
+    # north-rule graph algorithms, dedup/refiner/mentions/upsert/trim) and
+    # (b) 37 operators whose only prior hard evidence was the builder-side
+    # oracle sweep (ORACLE_SWEEP_r04.json, 114/114 green). Rows 51+ retain
+    # their green CORRECTNESS_r04.json evidence or sweep coverage.
     return {
+        # -- core contract rows (all green in CORRECTNESS_r04) ------------
+        "pages_linkgraph": q_pages_linkgraph,
+        "pages_pagerank": q_pages_pagerank,
+        "pages_anchors": q_pages_anchors,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_components": q_graph_components,
+        "graph_lpa": q_graph_lpa,
+        "graph_triangles": q_graph_triangles,
+        "graph_degrees": q_graph_degrees,
+        "graph_dedup_map": q_graph_dedup_map,
+        "refiner_candidates": q_refiner_candidates,
+        "concept_mentions": q_concept_mentions,
+        "edge_upsert": q_edge_upsert,
+        "graph_trim": q_graph_trim,
+        # -- rotated in: sweep-green, previously outside the window -------
+        "host_linkgraph": q_host_linkgraph,
+        "host_pagerank": q_host_pagerank,
+        "host_stats": q_host_stats,
+        "host_harmonic": q_host_harmonic,
+        "graph_anf": q_graph_anf,
+        "graph_anf_totals": q_graph_anf_totals,
+        "graph_hits": q_graph_hits,
+        "graph_eigenvector": q_graph_eigenvector,
+        "graph_katz": q_graph_katz,
+        "graph_kcore": q_graph_kcore,
+        "graph_ktruss": q_graph_ktruss,
+        "graph_ppr": q_graph_ppr,
+        "graph_trustrank": q_graph_trustrank,
+        "graph_salsa": q_graph_salsa,
+        "graph_bowtie": q_graph_bowtie,
+        "graph_modularity": q_graph_modularity,
+        "graph_conductance": q_graph_conductance,
+        "graph_seeded_labels": q_graph_seeded_labels,
+        "graph_walks": q_graph_walks,
+        "walk_skipgrams": q_walk_skipgrams,
+        "url_canonical": q_url_canonical,
+        "url_redirects": q_url_redirects,
+        "warc_roundtrip": q_warc_roundtrip,
+        "robots_verdicts": q_robots_verdicts,
+        "doc_substr_dedup": q_doc_substr_dedup,
+        "bpe_merges": q_bpe_merges,
+        "doc_bm25": q_doc_bm25,
+        "bloom_urls": q_bloom_urls,
+        "hll_hosts": q_hll_hosts,
+        "events_sessions": q_events_sessions,
+        "events_funnel": q_events_funnel,
+        "doc_gopher_quality": q_doc_gopher_quality,
+        "doc_gopher_rep": q_doc_gopher_rep,
+        "doc_par_dedup": q_doc_par_dedup,
+        "doc_c4_filter": q_doc_c4_filter,
+        "doc_winnow": q_doc_winnow,
+        "events_retention": q_events_retention,
+        # -- end of 50-entry window; rows below keep CORRECTNESS_r04 or
+        # -- ORACLE_SWEEP_r04 evidence --------------------------------------
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
         "events_daily": q_events_daily,
         "top_events_per_user": q_top_events_per_user,
         "co_supplier_edges": q_co_supplier_edges,
-        "graph_degrees": q_graph_degrees,
-        "graph_triangles": q_graph_triangles,
-        "graph_pagerank": q_graph_pagerank,
-        "graph_components": q_graph_components,
         "graph_components_warm": q_graph_components_warm,
         "graph_components_chain": q_graph_components_chain,
         "graph_components_star": q_graph_components_star,
-        "graph_lpa": q_graph_lpa,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3001,93 +3057,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_kmeans": q_emb_kmeans,
         "emb_semdedup": q_emb_semdedup,
-        "graph_dedup_map": q_graph_dedup_map,
         "graph_prereq_depth": q_graph_prereq_depth,
-        "refiner_candidates": q_refiner_candidates,
         "graph_edu_importance": q_graph_edu_importance,
-        "concept_mentions": q_concept_mentions,
         "cluster_sizes": q_cluster_sizes,
         "metric_summary": q_metric_summary,
         "anomaly_iqr": q_anomaly_iqr,
         "course_sequence": q_course_sequence,
-        "edge_upsert": q_edge_upsert,
         "graph_centrality_bridge": q_graph_centrality_bridge,
         "graph_centrality_multipath": q_graph_centrality_multipath,
         "prereq_cycles": q_prereq_cycles,
         "prereq_bidirectional": q_prereq_bidirectional,
         "graph_ancestors": q_graph_ancestors,
-        "graph_trim": q_graph_trim,
         "mention_index": q_mention_index,
         "node_concepts": q_node_concepts,
         "dangling_assessments": q_dangling_assessments,
         "edge_rewrite": q_edge_rewrite,
         "inter_cluster_edges": q_inter_cluster_edges,
         "drop_dangling": q_drop_dangling,
-        "pages_linkgraph": q_pages_linkgraph,
-        "pages_pagerank": q_pages_pagerank,
-        "pages_anchors": q_pages_anchors,
-        "host_linkgraph": q_host_linkgraph,
-        "host_pagerank": q_host_pagerank,
-        "host_stats": q_host_stats,
-        "host_harmonic": q_host_harmonic,
-        "graph_anf": q_graph_anf,
-        "graph_anf_totals": q_graph_anf_totals,
-        "graph_hits": q_graph_hits,
-        "graph_eigenvector": q_graph_eigenvector,
-        "graph_modularity": q_graph_modularity,
-        "graph_conductance": q_graph_conductance,
-        "graph_katz": q_graph_katz,
         "graph_bridge_scores": q_graph_bridge_scores,
         "top_node_per_cluster": q_top_node_per_cluster,
         "graph_louvain_moves": q_graph_louvain_moves,
-        "graph_kcore": q_graph_kcore,
-        "graph_ktruss": q_graph_ktruss,
         "graph_global_stats": q_graph_global_stats,
         "graph_clustering": q_graph_clustering,
-        "graph_ppr": q_graph_ppr,
-        "graph_trustrank": q_graph_trustrank,
-        "graph_salsa": q_graph_salsa,
-        "graph_bowtie": q_graph_bowtie,
         "graph_degree_dist": q_graph_degree_dist,
         "graph_powerlaw": q_graph_powerlaw,
         "link_prediction": q_link_prediction,
         "graph_cocitation": q_graph_cocitation,
-        "url_canonical": q_url_canonical,
-        "url_redirects": q_url_redirects,
-        "warc_roundtrip": q_warc_roundtrip,
-        "robots_verdicts": q_robots_verdicts,
-        "graph_seeded_labels": q_graph_seeded_labels,
+        "graph_coupling": q_graph_coupling,
         "graph_seeded_labels_und": q_graph_seeded_labels_und,
         "graph_diameter": q_graph_diameter,
-        "graph_walks": q_graph_walks,
         "graph_mis": q_graph_mis,
-        "walk_skipgrams": q_walk_skipgrams,
         "graph_coloring": q_graph_coloring,
         "doc_pii_scrub": q_doc_pii_scrub,
         "graph_simrank": q_graph_simrank,
         "doc_mix_sample": q_doc_mix_sample,
-        "doc_c4_filter": q_doc_c4_filter,
         "doc_pack_seqs": q_doc_pack_seqs,
-        "doc_par_dedup": q_doc_par_dedup,
         "host_boilerplate": q_host_boilerplate,
         "sitemap_parse": q_sitemap_parse,
         "frontier_schedule": q_frontier_schedule,
         "crawl_delta": q_crawl_delta,
-        "graph_coupling": q_graph_coupling,
-        "events_sessions": q_events_sessions,
-        "doc_gopher_quality": q_doc_gopher_quality,
-        "doc_gopher_rep": q_doc_gopher_rep,
         "doc_lm_score": q_doc_lm_score,
         "graph_wl": q_graph_wl,
-        "doc_substr_dedup": q_doc_substr_dedup,
-        "bloom_urls": q_bloom_urls,
-        "bpe_merges": q_bpe_merges,
-        "doc_bm25": q_doc_bm25,
-        "hll_hosts": q_hll_hosts,
-        "events_funnel": q_events_funnel,
-        "doc_winnow": q_doc_winnow,
         "doc_priority_sample": q_doc_priority_sample,
-        "events_retention": q_events_retention,
         "walk_ppmi": q_walk_ppmi,
         "graph_attr_mixing": q_graph_attr_mixing,
     }
@@ -4975,7 +4986,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM an GROUP BY 1, 2
             ),
             tot AS (
-                SELECT url, SUM(cnt) AS n_anchors, COUNT(*) AS n_texts
+                SELECT url, CAST(SUM(cnt) AS BIGINT) AS n_anchors,
+                       COUNT(*) AS n_texts
                 FROM cnts GROUP BY 1
             ),
             rnked AS (

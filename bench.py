@@ -514,7 +514,7 @@ def main() -> None:
             shuffle_mb.get("pagerank", 0.0) / pr_iterations, 2
         )
 
-    result = {
+    detail = {
         "metric": "bench_total_sec",
         "value": total,
         "unit": "sec",
@@ -530,7 +530,27 @@ def main() -> None:
         "shuffle_mb": shuffle_mb,
         **extras,
     }
-    print(json.dumps(result))
+    # Full detail (minima, shuffle, counters) goes to a file; stdout's
+    # LAST line is a SHORT summary the driver's tail capture can never
+    # truncate (the r04 artifact lost its numbers to a very long line).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        detail_path = None
+    summary = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "detail": detail_path,
+    }
+    print(json.dumps(summary, separators=(",", ":")))
     spark.stop()
 
 

@@ -30,10 +30,14 @@ documented driver tier (same contract as the PageRank delta scalar).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from k2_18_spark.operators.dedup import cosine
+
+log = logging.getLogger(__name__)
 
 
 def _assign_udf(centroids, round_dp: int):
@@ -119,6 +123,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """Within-cluster semantic prune: a vector is DROPPED when some
     other vector in the same k-means cluster has rounded cosine
@@ -128,8 +133,17 @@ def semdedup(
     cluster. Returns (id, cluster, keep).
 
     The self-join is equi-keyed on the cluster column, so the
-    quadratic stage is bounded by the largest cluster (the same
-    bounded-bucket contract as minhash_lsh_pairs), never all-pairs.
+    quadratic stage is O(Σ cluster²) — but k-means on near-isotropic
+    embeddings can still emit a degenerate giant cluster.
+    ``max_cluster_size`` bounds that: clusters above the cap are
+    deterministically hash-split (xxhash64 of the id) into
+    ceil(size/cap) subclusters and pairs are compared within a
+    subcluster only. Splitting is precision-safe — every drop still
+    requires a genuine ≥threshold neighbor closer to the centroid —
+    and loses only recall on pairs that straddle a subcluster
+    boundary (the ``minhash_lsh_pairs`` candidate contract). The
+    split is logged, never silent. ``None`` (default) disables the
+    cap and keeps the exact-oracle semantics.
     """
     va = (
         vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
@@ -140,9 +154,38 @@ def semdedup(
             "_id",
         )
     )
+    pair_key = ["cluster"]
+    if max_cluster_size is not None:
+        sizes = va.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csz"))
+        over = sizes.filter(F.col("_csz") > max_cluster_size)
+        stats = over.agg(
+            F.count(F.lit(1)).alias("clusters"), F.sum("_csz").alias("rows")
+        ).collect()[0]
+        if stats["clusters"]:
+            log.warning(
+                "semdedup: hash-split %d oversized clusters (> %d members, "
+                "%d rows) into subclusters — near-dup pairs that straddle a "
+                "subcluster boundary are NOT compared (recall-only loss)",
+                stats["clusters"], max_cluster_size, stats["rows"],
+            )
+        # ≤ k rows — broadcast; _sub=0 for clusters under the cap
+        va = (
+            va.join(F.broadcast(over), "cluster", "left")
+            .withColumn(
+                "_sub",
+                F.when(F.col("_csz").isNull(), F.lit(0)).otherwise(
+                    F.pmod(
+                        F.xxhash64("_id"),
+                        F.ceil(F.col("_csz") / max_cluster_size).cast("long"),
+                    ).cast("int")
+                ),
+            )
+            .drop("_csz")
+        )
+        pair_key = ["cluster", "_sub"]
     x, y = va.alias("x"), va.alias("y")
     dropped = (
-        x.join(y, "cluster")
+        x.join(y, pair_key)
         .filter(F.col("x._id") != F.col("y._id"))
         .filter(
             F.round(cosine(F.col("x._v"), F.col("y._v")), round_dp)

@@ -70,6 +70,23 @@ def test_query_runs(spark, name):
     assert df.count() >= 0
 
 
+def test_no_hugeint_or_decimal_oracle_outputs(ddb):
+    """The driver hashes values bit-exactly; DuckDB HUGEINT (bare
+    SUM(BIGINT)) and DECIMAL outputs land as float64 in the comparison
+    frame and break the hash even when values agree (the round-4
+    pages_anchors red row). Every oracle output column must resolve to
+    a hash-stable type — keep SUMs wrapped in CAST(... AS BIGINT)."""
+    for name, sql in sorted(ORACLES.items()):
+        rel = ddb.sql(sql)
+        for cname, ctype in zip(rel.columns, rel.types):
+            ts = str(ctype)
+            assert "HUGEINT" not in ts and "DECIMAL" not in ts, (
+                name,
+                cname,
+                ts,
+            )
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, ddb, name):
     q = entry_mod.queries()[name]

@@ -125,6 +125,52 @@ def test_semdedup_prune_is_within_cluster_only(spark):
     assert sum(res.values()) == 2
 
 
+def test_semdedup_max_cluster_size_bounds_giant_cluster(spark):
+    # planted degenerate cluster: 240 near-identical vectors all land in
+    # one k-means cluster. With max_cluster_size=40 the pair stage keys
+    # on (cluster, subcluster) so the self-join is ~n·cap, not n², and
+    # the result stays precision-safe: everything dropped has a genuine
+    # near-dup neighbor, and ≥1 survivor remains per subcluster.
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=16)
+    X = np.stack([base * (1.0 + 1e-6 * i) for i in range(240)])
+    df = _vec_df(spark, X)
+    assign = kmeans(spark, df, k=1, n_iter=1)
+
+    capped = semdedup(df, assign, 0.999, max_cluster_size=40)
+    res = {r["vec_id"]: r["keep"] for r in capped.collect()}
+    assert len(res) == 240
+    survivors = sum(res.values())
+    # ceil(240/40) = 6 subclusters → exactly one survivor per non-empty
+    # subcluster; hash splitting may leave some empty, so bound loosely
+    assert 1 <= survivors <= 12
+    # uncapped run on the same input keeps exactly 1 — the cap only
+    # loses recall (more survivors), never precision (fewer)
+    un = {r["vec_id"]: r["keep"]
+          for r in semdedup(df, assign, 0.999).collect()}
+    assert sum(un.values()) == 1
+    assert survivors >= sum(un.values())
+
+
+def test_semdedup_cap_noop_on_small_clusters(spark):
+    # clusters under the cap: identical output with and without it
+    rng = np.random.default_rng(31)
+    base = rng.normal(size=(2, 16)) * 4.0
+    rows = []
+    for c in base:
+        rows.extend([c, c * 1.0001, c + rng.normal(size=16) * 3.0])
+    df = _vec_df(spark, np.stack(rows))
+    assign = kmeans(spark, df, k=2, n_iter=2)
+    a = sorted(map(tuple, semdedup(df, assign, 0.999).collect()))
+    b = sorted(
+        map(
+            tuple,
+            semdedup(df, assign, 0.999, max_cluster_size=50).collect(),
+        )
+    )
+    assert a == b
+
+
 def test_semdedup_tie_keeps_lower_id(spark):
     # two copies equidistant from the centroid: lower id survives
     X = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
