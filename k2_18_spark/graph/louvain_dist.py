@@ -56,6 +56,9 @@ log = logging.getLogger(__name__)
 
 #: per-level move-round counts of the most recent run (observability)
 LAST_RUN_LEVEL_ROUNDS: list[int] = []
+#: per-level realized modularity gain (Σ per-move ΔQ) of the most
+#: recent run — the plateau early-exit reads these same numbers
+LAST_RUN_LEVEL_DQ: list[float] = []
 
 
 def louvain_superstep(
@@ -70,6 +73,7 @@ def louvain_superstep(
     num_partitions: int | None = None,
     score_round: int | None = None,
     min_moves_frac: float = 0.01,
+    min_round_dq: float | None = None,
 ) -> DataFrame:
     """→ (id, cluster_id), sequential ids by min member order (T6).
 
@@ -87,6 +91,17 @@ def louvain_superstep(
     exact zero-move convergence the planted-topology tests pin. Set
     0.0 for strict zero-move semantics (the driver-oracle query does,
     so its unrolled-SQL twin replays the identical trajectory).
+
+    ``min_round_dq``: the modularity-plateau exit. Every applied move's
+    greedy gain ΔQ·m = score(best) − score(current), evaluated against
+    round-start Σ_tot (concurrent same-parity moves make the round sum
+    an estimate of the realized ΔQ), rides through the existing
+    move-application aggregate, so each round's total ΔQ is free; a
+    round whose ΔQ falls below this threshold ends the level, and a
+    LEVEL whose total ΔQ falls below it ends the run (moves that churn
+    labels without improving Q — the power-law steady state — stop
+    burning supersteps). ``None`` disables (the exact-trajectory
+    oracle default).
     """
     from k2_18_spark.session import superstep_conf
 
@@ -94,7 +109,7 @@ def louvain_superstep(
         return _louvain_loop(
             spark, edges, nodes, resolution, max_rounds_per_level,
             max_levels, checkpoint_dir, job_name, num_partitions,
-            score_round, min_moves_frac,
+            score_round, min_moves_frac, min_round_dq,
         )
 
 
@@ -112,14 +127,17 @@ def _move_phase(
     num_partitions: int | None,
     score_round: int | None,
     min_moves_frac: float = 0.0,
-) -> tuple[DataFrame, int, list[int]]:
+    min_round_dq: float | None = None,
+) -> tuple[DataFrame, int, list[int], float]:
     """One Louvain level: greedy gain moves until two consecutive
     rounds (a full even+odd cycle) each move ≤ floor(frac·n) vertices
-    (frac 0 = exact quiescence). ``proj`` is canonical (a, b, w) with
-    a<b, a!=b; ``selfw`` is (v, s) intra-vertex mass. Returns
-    (comm(v,c), total moves, per-round move counts). Vertex keys are
-    dense longs; the per-round state carries the static degree k so
-    Σ_tot and the gain join need no extra degree-table joins."""
+    (frac 0 = exact quiescence), or — with ``min_round_dq`` — until a
+    round's realized modularity gain falls below the threshold.
+    ``proj`` is canonical (a, b, w) with a<b, a!=b; ``selfw`` is
+    (v, s) intra-vertex mass. Returns (comm(v,c), total moves,
+    per-round move counts, level ΔQ). Vertex keys are dense longs; the
+    per-round state carries the static degree k so Σ_tot and the gain
+    join need no extra degree-table joins."""
     sym_all = (
         proj.select(F.col("a").alias("v"), F.col("b").alias("nbr"), "w")
         .union(proj.select(F.col("b").alias("v"), F.col("a").alias("nbr"), "w"))
@@ -149,6 +167,7 @@ def _move_phase(
     threshold = int(n_level * min_moves_frac)
     rounds: list[int] = []
     total_moves = 0
+    level_dq = 0.0
     prev_moves = None
     gamma = F.lit(resolution)
     two_m = F.lit(2.0 * m)
@@ -203,6 +222,10 @@ def _move_phase(
         )
         if score_round is not None:
             score = F.round(score, score_round)
+        # score0 (the score of staying put) rides along so the realized
+        # per-move gain ΔQ·m = best_score − score0 is free — the
+        # plateau exit and the LAST_RUN_LEVEL_DQ observability both
+        # read it out of the same aggregate
         best = (
             cand.join(cur.hint("shuffle_hash"), "v")
             .join(sigma, "c")
@@ -213,10 +236,15 @@ def _move_phase(
                     (F.col("c") == F.col("c0")).cast("int").alias("stay"),
                     (-F.col("c")).alias("neg_c"),
                 ).alias("cand"),
+                F.when(F.col("c") == F.col("c0"), score).alias("score0"),
             )
             .groupBy("v")
-            .agg(F.max("cand").alias("m"))
-            .select("v", (-F.col("m.neg_c")).alias("best_c"))
+            .agg(F.max("cand").alias("m"), F.max("score0").alias("s0"))
+            .select(
+                "v",
+                (-F.col("m.neg_c")).alias("best_c"),
+                (F.col("m.score") - F.col("s0")).alias("gain"),
+            )
         )
         # STATE HANDOFF — the order here is load-bearing. Spark 4's
         # Dataset.localCheckpoint rewrites the new LogicalRDD's stats
@@ -234,30 +262,44 @@ def _move_phase(
         new_comm = (
             comm.withColumnRenamed("c", "old_c")
             .join(best.hint("shuffle_hash"), "v", "left")
-            .select("v", F.coalesce("best_c", "old_c").alias("c"), "old_c", "k")
+            .select(
+                "v", F.coalesce("best_c", "old_c").alias("c"), "old_c", "k",
+                "gain",
+            )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        moves = new_comm.filter(F.col("c") != F.col("old_c")).count()
+        moved = F.col("c") != F.col("old_c")
+        stats = new_comm.agg(
+            F.sum(moved.cast("long")).alias("moves"),
+            F.sum(F.when(moved, F.col("gain"))).alias("dq_m"),
+        ).collect()[0]
+        moves = stats["moves"] or 0
+        round_dq = (stats["dq_m"] or 0.0) / m
         log.info(
-            "louvain round=%d moves=%d wall=%.1fs", r, moves, time.time() - _t0
+            "louvain round=%d moves=%d dq=%.6g wall=%.1fs",
+            r, moves, round_dq, time.time() - _t0,
         )
         rounds.append(moves)
         total_moves += moves
+        level_dq += round_dq
         prev = comm
         comm = new_comm.select("v", "c", "k").localCheckpoint(eager=True)
         new_comm.unpersist()
         prev.unpersist()
         if moves <= threshold and prev_moves is not None and prev_moves <= threshold:
             break
+        if min_round_dq is not None and round_dq < min_round_dq:
+            break
         prev_moves = moves
     for s in sym_by_par:
         s.unpersist()
-    return comm.select("v", "c"), total_moves, rounds
+    return comm.select("v", "c"), total_moves, rounds, level_dq
 
 
 def _louvain_loop(
     spark, edges, nodes, resolution, max_rounds_per_level, max_levels,
     checkpoint_dir, job_name, num_partitions, score_round, min_moves_frac,
+    min_round_dq=None,
 ) -> DataFrame:
     verts = _persist(dense_vertex_ids(vertex_ids(edges, nodes)))
     n = verts.count()
@@ -311,14 +353,16 @@ def _louvain_loop(
             proj, selfw = _coarsen(proj, selfw, mapping, num_partitions)
             start_level = last + 1
 
-    global LAST_RUN_LEVEL_ROUNDS
+    global LAST_RUN_LEVEL_ROUNDS, LAST_RUN_LEVEL_DQ
     LAST_RUN_LEVEL_ROUNDS = []
+    LAST_RUN_LEVEL_DQ = []
     for level in range(start_level, max_levels):
-        comm, moves, rounds = _move_phase(
+        comm, moves, rounds, level_dq = _move_phase(
             spark, proj, selfw, resolution, m, max_rounds_per_level,
-            num_partitions, score_round, min_moves_frac,
+            num_partitions, score_round, min_moves_frac, min_round_dq,
         )
         LAST_RUN_LEVEL_ROUNDS.append(len(rounds))
+        LAST_RUN_LEVEL_DQ.append(level_dq)
         # compose: original → level community. LEFT join: isolated
         # singletons never enter the edge-derived comm table and keep
         # their own id (their id can't collide with a surviving
@@ -342,8 +386,13 @@ def _louvain_loop(
             store.annotate(level, moves=moves, rounds=rounds)
         new_mapping.count()
         mapping = new_mapping.select("v", "c")
-        log.info("louvain level=%d moves=%d rounds=%d", level, moves, len(rounds))
-        if moves == 0:
+        log.info(
+            "louvain level=%d moves=%d rounds=%d dq=%.6g",
+            level, moves, len(rounds), level_dq,
+        )
+        if moves == 0 or (
+            min_round_dq is not None and level_dq < min_round_dq
+        ):
             if store is not None:
                 store.annotate(level, converged=True)
             break

@@ -123,6 +123,53 @@ def test_modularity_beats_singletons(spark):
     assert q > 0.0
 
 
+def test_dq_plateau_exit_cuts_rounds_without_hurting_quality(spark):
+    # random graph with no planted structure: after the first few
+    # rounds the greedy gain collapses, so the ΔQ plateau exit must end
+    # levels early; on the same input the resulting modularity must not
+    # fall measurably short of the unbounded run
+    rng = random.Random(19)
+    rows = [(rng.randrange(60), rng.randrange(60), 1) for _ in range(240)]
+    rows = [(a, b, 1) for a, b in {(min(a, b), max(a, b)) for a, b, _ in rows}
+            if a != b]
+    edf = _edf(spark, rows)
+
+    full = louvain_superstep(spark, edf, max_rounds_per_level=10)
+    full_rounds = sum(louvain_dist.LAST_RUN_LEVEL_ROUNDS)
+    clf = full.select(full.id, full.cluster_id.cast("int").alias("cluster_id"))
+    q_full = modularity(spark, edf, clf, directed=False)
+
+    fast = louvain_superstep(
+        spark, edf, max_rounds_per_level=10, min_round_dq=1e-3
+    )
+    fast_rounds = sum(louvain_dist.LAST_RUN_LEVEL_ROUNDS)
+    assert louvain_dist.LAST_RUN_LEVEL_DQ, "dq observability populated"
+    clq = fast.select(fast.id, fast.cluster_id.cast("int").alias("cluster_id"))
+    q_fast = modularity(spark, edf, clq, directed=False)
+
+    assert fast_rounds <= full_rounds
+    assert q_fast >= q_full - 0.02
+
+
+def test_dq_exit_keeps_planted_exactness(spark):
+    # clean community structure: the plateau exit must not change the
+    # exact ring-of-cliques recovery (the gains stay large until true
+    # convergence, so the threshold never triggers early)
+    rows = []
+    for c in range(4):
+        base = c * 5
+        for i in range(5):
+            for j in range(i + 1, 5):
+                rows.append((base + i, base + j, 1))
+    for c in range(4):
+        rows.append((c * 5, ((c + 1) % 4) * 5, 1))
+    got = _groups(
+        louvain_superstep(spark, _edf(spark, rows), min_round_dq=1e-4)
+    )
+    want = sorted(sorted(f"V{c * 5 + i}" for i in range(5)) for c in range(4))
+    assert got == want
+
+
 def test_level_resume(spark, tmp_path):
     rows = []
     for c in range(4):
