@@ -273,6 +273,29 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id", F.round("rank", 6).alias("pagerank"))
 
 
+def q_graph_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start PageRank (pagerank.py init_ranks=, the incremental-
+    crawl path): yesterday's crawl = the co-supplier graph minus a
+    deterministic ~25% of edges (hash filter), today's = the full
+    graph; the warm run seeds today's power iteration with yesterday's
+    converged vector and must land on the SAME fixpoint the cold
+    oracle iterates to from uniform (power iteration is
+    init-independent). Unlike the cold row — where engine and oracle
+    run the IDENTICAL iterate sequence — the two sides here take
+    different paths to the fixpoint, so both run to tol=1e-13 (L1 err
+    < n·tol), placing each iterate ~1e-10 of the true fixpoint, four
+    orders below the 6-dp output grid."""
+    from k2_18_spark.graph.pagerank import pagerank
+
+    full = _graph_edges(spark, sf_dir)
+    old = full.filter(F.pmod(F.xxhash64("src_id", "dst_id"), F.lit(4)) < 3)
+    prev = pagerank(spark, old, hub_top_k=32, tol=1e-9, max_iter=300)
+    ranks = pagerank(
+        spark, full, hub_top_k=32, tol=1e-13, max_iter=300, init_ranks=prev
+    )
+    return ranks.select("id", F.round("rank", 6).alias("pagerank"))
+
+
 def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from k2_18_spark.graph.components import connected_components
 
@@ -2988,6 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_pagerank": q_pages_pagerank,
         "pages_anchors": q_pages_anchors,
         "graph_pagerank": q_graph_pagerank,
+        "graph_pagerank_warm": q_graph_pagerank_warm,
         "graph_components": q_graph_components,
         "graph_lpa": q_graph_lpa,
         "graph_triangles": q_graph_triangles,
@@ -4243,6 +4267,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "co_supplier_edges": _CO_SUPPLIER_SQL,
         "graph_pagerank": _PAGERANK_ORACLE.format(edges_sql=_CO_SUPPLIER_SQL),
+        # warm start must land on the SAME fixpoint the cold oracle
+        # iterates to from uniform — both sides tightened to tol=1e-13
+        # (see q_graph_pagerank_warm docstring for the grid argument)
+        "graph_pagerank_warm": _PAGERANK_ORACLE.format(
+            edges_sql=_CO_SUPPLIER_SQL
+        )
+        .replace("CAST(1e-6 AS DOUBLE)", "CAST(1e-13 AS DOUBLE)")
+        .replace("p.iter < 100", "p.iter < 300"),
         "graph_components": _COMPONENTS_ORACLE.format(edges_sql=_CO_SUPPLIER_SQL),
         # warm start must land on the SAME fixpoint as the cold oracle
         "graph_components_warm": _COMPONENTS_ORACLE.format(

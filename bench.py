@@ -187,6 +187,29 @@ def main() -> None:
 
     pr_iterations = pr_mod.LAST_RUN_ITERATIONS
 
+    # incremental-crawl re-rank (pagerank init_ranks=): yesterday's
+    # graph = all but ~1% of edges (deterministic hash filter); its
+    # converged vector seeds today's full-graph iteration. This is the
+    # daily-delta path a web-scale crawl runs — the warm loop
+    # re-converges in a fraction of the cold superstep count because
+    # the seed is already O(delta) from the new fixpoint. The cold
+    # "yesterday" solve is off the clock (it is yesterday's job).
+    prev_ranks = pagerank(
+        spark,
+        edges.filter(F.pmod(F.xxhash64("src_id", "dst_id"), F.lit(100)) < 99),
+        tol=1e-9,
+        max_iter=100,
+    ).localCheckpoint(eager=True)
+    timed(
+        "pagerank_warm_delta1pct",
+        lambda: pagerank(
+            spark, edges, nodes=nodes, adj=adj, tol=1e-9, max_iter=100,
+            init_ranks=prev_ranks,
+        ).count(),
+    )
+    pr_warm_iterations = pr_mod.LAST_RUN_ITERATIONS
+    prev_ranks.unpersist()
+
     timed("components", lambda: connected_components(spark, edges, nodes=nodes).count())
     timed("lpa", lambda: label_propagation(spark, edges, nodes=nodes, max_iter=10).count())
 
@@ -513,6 +536,8 @@ def main() -> None:
         extras["pagerank_shuffle_mb_per_superstep"] = round(
             shuffle_mb.get("pagerank", 0.0) / pr_iterations, 2
         )
+        # warm-start superstep count: the incremental-crawl savings
+        extras["pagerank_warm_iterations"] = pr_warm_iterations
 
     detail = {
         "metric": "bench_total_sec",
