@@ -2067,6 +2067,37 @@ def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic node2vec corpus (graph/walks.py:node2vec_walks,
+    Grover & Leskovec KDD'16) on the block graph: 2 walks × 6 steps,
+    return bias p=4 / in-out bias q=0.25 (the DFS-ish setting), step =
+    argmin of the exponential race -ln(u)/(w·α) with the md5-derived
+    uniform u. The DuckDB twin unrolls the 6 steps as chained
+    state-carrying CTEs ((walk_id, prev, cur) per step), replays the
+    α classes (prev NULL → 1, return → 1/p, prev-neighbor via a LEFT
+    JOIN probe → 1, else → 1/q) and the identical double arithmetic
+    (hex-parse → DOUBLE cast → +1.0 → /2^60 → ln), and rebuilds every
+    path with an ordered list aggregate — every hop of every walk is
+    value-checked."""
+    from k2_18_spark.graph.walks import node2vec_walks
+
+    w = node2vec_walks(
+        spark,
+        _kcore_edges(spark, sf_dir),
+        walk_length=6,
+        num_walks=2,
+        p=4.0,
+        q=0.25,
+        seed="nvseed",
+    )
+    return w.select(
+        "walk_id",
+        "start_id",
+        F.array_join("seq", ">").alias("path"),
+        "length",
+    )
+
+
 def q_doc_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 rule-set filtering (operators/c4_filters.py) over docs with
     a per-doc_id schedule of rule violations — javascript marker
@@ -3041,6 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_conductance": q_graph_conductance,
         "graph_seeded_labels": q_graph_seeded_labels,
         "graph_walks": q_graph_walks,
+        "graph_node2vec": q_graph_node2vec,
         "walk_skipgrams": q_walk_skipgrams,
         "url_canonical": q_url_canonical,
         "url_redirects": q_url_redirects,
@@ -3147,6 +3179,41 @@ _WALK_STEPS_SQL = "\n".join(
 _WALK_UNION_SQL = "\n".join(
     f"                UNION ALL SELECT walk_id, {t}, cur FROM s{t}"
     for t in range(1, 9)
+)
+
+# unrolled node2vec step CTEs: state (walk_id, prev, cur) per step; the
+# race key replays the engine's double arithmetic exactly (hex →
+# UBIGINT → DOUBLE cast, +1.0, /2^60, ln) and the α bias classes (prev
+# NULL → 1, return → 1/p=0.25, prev-neighbor LEFT JOIN probe → 1,
+# else → 1/q=4); struct min == the engine's (key, dst) struct argmin
+_N2V_KEY_SQL = (
+    "-ln((CAST(CAST('0x' || substr(md5('nvseed|' || c.walk_id || "
+    "'|{t}|' || e.t), 1, 15) AS UBIGINT) AS DOUBLE) + 1.0) "
+    "/ 1152921504606846976.0) / (1.0 * CASE "
+    "WHEN c.prev IS NULL THEN 1.0 "
+    "WHEN e.t = c.prev THEN 0.25 "
+    "WHEN pe.s IS NOT NULL THEN 1.0 "
+    "ELSE 4.0 END)"
+)
+_N2V_STEPS_SQL = "\n".join(
+    f"""            n{t} AS (
+                SELECT c.walk_id,
+                       min(struct_pack(k := {_N2V_KEY_SQL.format(t=t)},
+                                       d := e.t)) AS m
+                FROM s{t - 1} c JOIN e ON c.cur = e.s
+                LEFT JOIN e pe ON pe.s = c.prev AND pe.t = e.t
+                GROUP BY c.walk_id
+            ),
+            s{t} AS (
+                SELECT p.walk_id, p.cur AS prev,
+                       struct_extract(n.m, 'd') AS cur
+                FROM s{t - 1} p JOIN n{t} n USING (walk_id)
+            ),"""
+    for t in range(1, 7)
+)
+_N2V_UNION_SQL = "\n".join(
+    f"                UNION ALL SELECT walk_id, {t}, cur FROM s{t}"
+    for t in range(1, 7)
 )
 
 # multi-line doc construction shared by the paragraph-cleaning oracles
@@ -5810,6 +5877,29 @@ def oracle_sql() -> dict[str, str]:
             steps AS (
                 SELECT walk_id, 0 AS st, cur FROM s0
 {_WALK_UNION_SQL}
+            )
+            SELECT walk_id,
+                   split_part(walk_id, '#', 1) AS start_id,
+                   array_to_string(list(cur ORDER BY st), '>') AS path,
+                   CAST(COUNT(*) AS INT) AS length
+            FROM steps GROUP BY walk_id
+        """,
+        "graph_node2vec": f"""
+            WITH raw AS MATERIALIZED ({_KCORE_EDGES_SQL}),
+            e AS MATERIALIZED (
+                SELECT DISTINCT src_id AS s, dst_id AS t FROM raw
+                WHERE src_id <> dst_id
+            ),
+            s0 AS (
+                SELECT v.id || '#' || w.k AS walk_id,
+                       CAST(NULL AS VARCHAR) AS prev, v.id AS cur
+                FROM (SELECT DISTINCT s AS id FROM e) v
+                CROSS JOIN (VALUES (0), (1)) w(k)
+            ),
+{_N2V_STEPS_SQL}
+            steps AS (
+                SELECT walk_id, 0 AS st, cur FROM s0
+{_N2V_UNION_SQL}
             )
             SELECT walk_id,
                    split_part(walk_id, '#', 1) AS start_id,

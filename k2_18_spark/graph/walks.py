@@ -165,6 +165,146 @@ def random_walks(
     )
 
 
+def node2vec_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    walk_length: int = 8,
+    num_walks: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: str = "n2v",
+    starts: DataFrame | None = None,
+    weighted: bool = False,
+    directed: bool = True,
+) -> DataFrame:
+    """Deterministic node2vec walks (Grover & Leskovec KDD'16): the
+    second-order biased extension of :func:`random_walks`. The step
+    from ``cur`` (having arrived from ``prev``) to candidate ``dst``
+    is drawn with probability proportional to ``w(cur,dst) · α`` where
+    ``α = 1/p`` if ``dst == prev`` (return), ``1`` if ``dst`` is a
+    neighbor of ``prev`` in the walk's edge orientation (BFS-ish
+    stay-local), else ``1/q`` (DFS-ish explore). ``p = q = 1``
+    degenerates to the first-order weighted walk and is tested
+    bit-identical to ``random_walks(weighted=True)``.
+
+    Sampling is the same hash-derived exponential race as the
+    first-order sampler — ``argmin -ln(u)/(w·α)`` with
+    ``u = md5(seed|walk_id|t|dst)``-derived — so the corpus is
+    bit-reproducible across runs/partitionings/cluster sizes and has
+    an exact unrolled-CTE SQL twin (driver oracle ``graph_node2vec``).
+
+    Plan shape per step (the second-order Markov price): ONE
+    shuffle-hash join of the live frontier against the persisted
+    src-partitioned edge table (candidates = Σ deg(cur) over live
+    walks) + ONE existence probe of those candidates against the
+    distinct (src,dst) pair set on (prev, dst) — a semi-join-shaped
+    left join tagging the α=1 class — + one per-walk map-side-partial
+    argmin. No state beyond (prev, cur) per walk ever materializes;
+    the first step has no ``prev`` and runs the unbiased race.
+    """
+    e = edges.select("src_id", "dst_id", "weight").filter(
+        F.col("src_id") != F.col("dst_id")
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(
+                F.col("dst_id").alias("src_id"),
+                F.col("src_id").alias("dst_id"),
+                "weight",
+            )
+        )
+    if weighted:
+        e = e.groupBy("src_id", "dst_id").agg(F.sum("weight").alias("weight"))
+    else:
+        e = e.select("src_id", "dst_id").distinct().withColumn(
+            "weight", F.lit(1.0)
+        )
+    e = e.repartition("src_id").persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    # the α=1 membership probe: is (prev, dst) an edge?
+    nbr = e.select(
+        F.col("src_id").alias("prev"),
+        F.col("dst_id").alias("dst_id"),
+        F.lit(True).alias("is_nbr"),
+    )
+
+    if starts is None:
+        starts = e.select(F.col("src_id").alias("id")).distinct()
+    frontier = (
+        starts.select("id")
+        .distinct()
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(num_walks - 1))
+            ).alias("k"),
+        )
+        .select(
+            F.concat_ws("#", "id", "k").alias("walk_id"),
+            F.col("id").alias("start_id"),
+            F.lit(None).cast("string").alias("prev"),
+            F.col("id").alias("cur"),
+            F.array("id").alias("seq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    finished: list[DataFrame] = []
+    for t in range(1, walk_length + 1):
+        cand = frontier.join(
+            e.withColumnRenamed("src_id", "cur").hint("shuffle_hash"), "cur"
+        ).join(nbr, ["prev", "dst_id"], "left")
+        alpha = (
+            F.when(F.col("prev").isNull(), F.lit(1.0))
+            .when(F.col("dst_id") == F.col("prev"), F.lit(1.0) / F.lit(p))
+            .when(F.col("is_nbr"), F.lit(1.0))
+            .otherwise(F.lit(1.0) / F.lit(q))
+        )
+        h = F.md5(
+            F.encode(
+                F.concat_ws(
+                    "|",
+                    F.lit(seed),
+                    F.col("walk_id"),
+                    F.lit(str(t)),
+                    F.col("dst_id"),
+                ),
+                "UTF-8",
+            )
+        )
+        u = (
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("double") + 1.0
+        ) / float(1 << 60)
+        key = -F.log(u) / (F.col("weight") * alpha)
+        pick = cand.groupBy("walk_id").agg(
+            F.min(
+                F.struct(key.alias("k"), F.col("dst_id").alias("nxt"))
+            ).alias("m")
+        )
+        j = frontier.join(pick, "walk_id", "left").localCheckpoint(eager=True)
+        finished.append(
+            j.filter(F.col("m").isNull()).select("walk_id", "start_id", "seq")
+        )
+        frontier = j.filter(F.col("m").isNotNull()).select(
+            "walk_id",
+            "start_id",
+            F.col("cur").alias("prev"),
+            F.col("m.nxt").alias("cur"),
+            F.concat("seq", F.array("m.nxt")).alias("seq"),
+        )
+        if frontier.isEmpty():
+            break
+
+    out = reduce(
+        DataFrame.unionByName,
+        finished + [frontier.select("walk_id", "start_id", "seq")],
+    )
+    e.unpersist()
+    return out.select(
+        "walk_id", "start_id", "seq", F.size("seq").alias("length")
+    )
+
+
 def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     """Walk corpus → aggregated skip-gram training pairs
     (center, context, n_pairs): every (seq[i], seq[i+d]) with

@@ -8,7 +8,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from k2_18_spark.graph.walks import random_walks
+from k2_18_spark.graph.walks import node2vec_walks, random_walks
 
 
 def _edges(spark, rows):
@@ -198,3 +198,101 @@ def test_ppmi_matches_replica(spark):
         pmi = math.log(cnt * n / (marg_c[c] * marg_x[x]))
         assert out[(c, x)][0] == round(pmi, 6), (c, x)
         assert out[(c, x)][1] == round(max(pmi - 1.0, 0.0), 6), (c, x)
+
+
+# ---- node2vec (second-order biased walks) ----
+
+def _n2v_replica(rows, walk_length, num_walks, seed, p, q,
+                 weighted, directed):
+    adj: dict[str, dict[str, float]] = {}
+
+    def add(s, d, w):
+        if s == d:
+            return
+        adj.setdefault(s, {})
+        adj[s][d] = adj[s].get(d, 0.0) + w if weighted else 1.0
+
+    for s, d, w in rows:
+        add(s, d, w)
+        if not directed:
+            add(d, s, w)
+    out = {}
+    for start in sorted(adj):
+        for k in range(num_walks):
+            wid = f"{start}#{k}"
+            prev, cur, seq = None, start, [start]
+            for t in range(1, walk_length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                best = None
+                for dst, w in nbrs.items():
+                    if prev is None:
+                        alpha = 1.0
+                    elif dst == prev:
+                        alpha = 1.0 / p
+                    elif dst in adj.get(prev, {}):
+                        alpha = 1.0
+                    else:
+                        alpha = 1.0 / q
+                    h = hashlib.md5(
+                        f"{seed}|{wid}|{t}|{dst}".encode()
+                    ).hexdigest()
+                    key = (-math.log(_u(h)) / (w * alpha), dst)
+                    if best is None or key < best:
+                        best = key
+                prev, cur = cur, best[1]
+                seq.append(cur)
+            out[wid] = seq
+    return out
+
+
+@pytest.mark.parametrize("directed", [True, False])
+def test_node2vec_matches_replica(spark, directed):
+    got = {
+        r["walk_id"]: list(r["seq"])
+        for r in node2vec_walks(
+            spark, _edges(spark, ROWS), walk_length=6, num_walks=3,
+            p=4.0, q=0.25, seed="nv", directed=directed,
+        ).collect()
+    }
+    assert got == _n2v_replica(ROWS, 6, 3, "nv", 4.0, 0.25, False, directed)
+
+
+def test_node2vec_weighted_matches_replica(spark):
+    got = {
+        r["walk_id"]: list(r["seq"])
+        for r in node2vec_walks(
+            spark, _edges(spark, ROWS), walk_length=5, num_walks=2,
+            p=0.5, q=2.0, seed="nw", weighted=True,
+        ).collect()
+    }
+    assert got == _n2v_replica(ROWS, 5, 2, "nw", 0.5, 2.0, True, True)
+
+
+def test_node2vec_pq1_degenerates_to_first_order(spark):
+    """p = q = 1 must reproduce random_walks(weighted=True)
+    bit-identically (same seed, same race keys)."""
+    e = _edges(spark, ROWS)
+    key = lambda rows: sorted((r["walk_id"], tuple(r["seq"])) for r in rows)
+    a = node2vec_walks(spark, e, 6, 2, p=1.0, q=1.0, seed="z",
+                       weighted=True)
+    b = random_walks(spark, e, 6, 2, seed="z", weighted=True)
+    assert key(a.collect()) == key(b.collect())
+
+
+def test_node2vec_large_p_never_backtracks(spark):
+    """On an undirected path graph with p → ∞, a walk only returns to
+    ``prev`` when it is the SOLE candidate (path endpoints)."""
+    path = [("n0", "n1", 1.0), ("n1", "n2", 1.0), ("n2", "n3", 1.0),
+            ("n3", "n4", 1.0)]
+    rows = node2vec_walks(
+        spark, _edges(spark, path), walk_length=6, num_walks=4,
+        p=1e9, q=1.0, seed="bp", directed=False,
+    ).collect()
+    ends = {"n0", "n4"}
+    for r in rows:
+        seq = list(r["seq"])
+        for i in range(2, len(seq)):
+            if seq[i] == seq[i - 2]:          # a backtrack
+                assert seq[i - 1] in ends     # only forced at endpoints
