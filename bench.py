@@ -298,6 +298,19 @@ def main() -> None:
 
     extras["skipgram_pairs"] = timed("walks_skipgrams", run_walks)
 
+    # node2vec: the same frontier loop plus the second-order price —
+    # one (prev, dst) existence probe per step against the persisted
+    # pair set. The leg isolates that extra join's cost vs the
+    # first-order walk above (same length, same starts).
+    from k2_18_spark.graph.walks import node2vec_walks
+
+    timed(
+        "node2vec_walks",
+        lambda: node2vec_walks(
+            spark, edges, walk_length=10, num_walks=1, p=4.0, q=0.25
+        ).count(),
+    )
+
     # graph section done — release its caches so the data-pipeline
     # queries below aren't fighting them for executor memory
     adj.unpersist()
