@@ -2098,6 +2098,25 @@ def q_graph_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py, Xie et al.
+    NeurIPS 2023): pool = the documents table, target = the doc_id%7
+    stratum; hashed-bigram featurization into 512 md5 buckets, add-1
+    bag-of-ngrams LMs on both sides, per-doc log importance weight
+    Σ cnt·(ln p_t − ln p_r), then Gumbel-top-k selection of 200 docs
+    (key = log_w − ln(−ln(u)), u md5-derived). The DuckDB twin
+    re-derives every stage — token split, bucket hash, both smoothed
+    LMs, the weight rollup, the Gumbel keys and the top-k window —
+    and value-checks n_ngrams, log_w and the selection priority of
+    every sampled doc at 6dp."""
+    from k2_18_spark.operators.dsir import dsir_sample, dsir_scores
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0)
+    scored = dsir_scores(docs, target, n=2, buckets=512)
+    return dsir_sample(scored, k=200, seed="dsirseed")
+
+
 def q_doc_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 rule-set filtering (operators/c4_filters.py) over docs with
     a per-doc_id schedule of rule violations — javascript marker
@@ -3156,6 +3175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_wl": q_graph_wl,
         "doc_priority_sample": q_doc_priority_sample,
         "walk_ppmi": q_walk_ppmi,
+        "doc_dsir": q_doc_dsir,
         "graph_attr_mixing": q_graph_attr_mixing,
     }
 
@@ -6702,6 +6722,68 @@ def oracle_sql() -> dict[str, str]:
                     AND dup6gram_char_frac <= 0.14)
                        AS keep_repetition
             FROM m
+        """,
+        "doc_dsir": """
+            WITH tok AS MATERIALIZED (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+                FROM documents
+            ),
+            gram AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(ts) - 1),
+                           i -> ts[i] || ' ' || ts[i + 1])) AS gram
+                FROM tok
+            ),
+            dc AS MATERIALIZED (
+                SELECT doc_id,
+                       CAST(CAST('0x' || substr(md5(gram), 1, 15)
+                                 AS UBIGINT) % 512 AS BIGINT) AS bucket,
+                       COUNT(*) AS cnt
+                FROM gram GROUP BY 1, 2
+            ),
+            rc AS (SELECT bucket, SUM(cnt) AS c FROM dc GROUP BY bucket),
+            tc AS (SELECT bucket, SUM(cnt) AS c FROM dc
+                   WHERE doc_id % 7 = 0 GROUP BY bucket),
+            rt AS (SELECT SUM(c) AS t FROM rc),
+            tt AS (SELECT SUM(c) AS t FROM tc),
+            buckets AS (SELECT unnest(generate_series(0, 511)) AS bucket),
+            lr AS (
+                SELECT b.bucket,
+                       ln((COALESCE(rc.c, 0) + 1.0) / (rt.t + 512.0)) AS lp
+                FROM buckets b LEFT JOIN rc USING (bucket), rt
+            ),
+            lt AS (
+                SELECT b.bucket,
+                       ln((COALESCE(tc.c, 0) + 1.0) / (tt.t + 512.0)) AS lp
+                FROM buckets b LEFT JOIN tc USING (bucket), tt
+            ),
+            per_doc AS (
+                SELECT dc.doc_id, SUM(dc.cnt) AS n,
+                       SUM(dc.cnt * (lt.lp - lr.lp)) AS w
+                FROM dc JOIN lt USING (bucket) JOIN lr USING (bucket)
+                GROUP BY dc.doc_id
+            ),
+            scored AS (
+                SELECT d.doc_id,
+                       CAST(COALESCE(p.n, 0) AS BIGINT) AS n_ngrams,
+                       ROUND(COALESCE(p.w, 0.0), 6) AS log_w
+                FROM documents d LEFT JOIN per_doc p USING (doc_id)
+            ),
+            keyed AS (
+                SELECT *,
+                       log_w - ln(-ln((CAST(CAST('0x' || substr(
+                           md5('dsirseed|' || doc_id), 1, 15) AS UBIGINT)
+                           AS DOUBLE) + 1.0) / 1152921504606846976.0))
+                           AS key
+                FROM scored
+            )
+            SELECT doc_id, n_ngrams, log_w, ROUND(key, 6) AS priority
+            FROM (SELECT *, row_number()
+                      OVER (ORDER BY key DESC, doc_id) AS rn
+                  FROM keyed)
+            WHERE rn <= 200
         """,
         "doc_lm_score": """
             WITH tok AS MATERIALIZED (
