@@ -434,6 +434,25 @@ def main() -> None:
             lambda: lm_score(pdocs, train_unigram(pdocs)).count(),
         )
 
+        # -- DSIR data selection (operators/dsir.py): hashed-bigram
+        # featurization of the whole pool, two broadcast LM joins, the
+        # per-doc importance rollup and the Gumbel-top-k window — the
+        # end-to-end pretraining-data selection pass.
+        from k2_18_spark.operators.dsir import dsir_sample, dsir_scores
+
+        timed(
+            "dsir_select",
+            lambda: dsir_sample(
+                dsir_scores(
+                    pdocs,
+                    pdocs.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0),
+                    n=2,
+                    buckets=4096,
+                ),
+                k=1000,
+            ).count(),
+        )
+
         # -- winnowing fingerprints (operators/winnow.py): one row per
         # char 5-gram (~330/doc) + the sliding-frame doc_id window —
         # the MOSS sampling pass at corpus scale.
