@@ -47,6 +47,7 @@ MEM_MB = int(os.environ.get("SUBMIT_MEM_MB", "4096"))
 WORKLOADS = os.environ.get("SUBMIT_WORKLOADS", "pagerank,components")
 SHUFFLE = int(os.environ.get("SUBMIT_SHUFFLE_PARTITIONS", "64"))
 SPARK_SUBMIT = os.environ.get("SPARK_SUBMIT", "spark-submit")
+LEG_TIMEOUT = int(os.environ.get("SUBMIT_LEG_TIMEOUT", "3600"))
 
 
 def build_zip(tmp: str) -> str:
@@ -83,7 +84,7 @@ def run_leg(zip_path: str, n_exec: int) -> dict[str, float]:
     if os.access("/dev/shm", os.W_OK):
         env.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
     out = subprocess.run(
-        cmd, capture_output=True, text=True, cwd=REPO, timeout=3600, env=env
+        cmd, capture_output=True, text=True, cwd=REPO, timeout=LEG_TIMEOUT, env=env
     )
     m = re.search(r"LEGRESULT (\{.*\})", out.stdout)
     if not m:
