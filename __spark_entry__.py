@@ -2875,6 +2875,59 @@ def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_score(d, "hash join filter scan zzzunseen")
 
 
+def q_cms_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter estimation (functions/cms.py): a skewed
+    synthetic host stream (doc_id%97 hosts, plus doc_id%13==0 rows
+    re-labelled to one hot host) sketched at d=4 × w=128, then point
+    estimates for every distinct host. Output per host: the CM
+    estimate, the exact count, and an md5 over the (row:col:cnt)
+    register triples — so the oracle pins every COUNTER value, every
+    estimate, and the one-sided est ≥ true guarantee (the oracle
+    recomputes both sides independently)."""
+    from k2_18_spark.functions.cms import cms_build, cms_estimate
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    stream = d.select(
+        F.when(
+            F.pmod("doc_id", F.lit(13)) == 0, F.lit("hot.example")
+        )
+        .otherwise(
+            F.concat(
+                F.lit("h"), F.pmod("doc_id", F.lit(97)).cast("string"),
+                F.lit(".example"),
+            )
+        )
+        .alias("host")
+    )
+    sk = cms_build(stream, "host", d=4, w=128, seed="cmsseed")
+    est = cms_estimate(
+        sk, stream.distinct(), "host", d=4, w=128, seed="cmsseed"
+    )
+    exact = stream.groupBy("host").agg(F.count(F.lit(1)).alias("exact"))
+    regs = sk.agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(
+                            ":",
+                            F.col("row").cast("string"),
+                            F.col("col").cast("string"),
+                            F.col("cnt").cast("string"),
+                        )
+                    )
+                ),
+            )
+        ).alias("register_md5")
+    )
+    return (
+        est.join(exact, "host")
+        .crossJoin(F.broadcast(regs))
+        .select("host", "est", "exact", "register_md5")
+    )
+
+
 def q_hll_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog per-host distinct-URL counting (functions/hll.py):
     ~1.9k distinct synthetic URLs per host, estimated at b=6 (m=64 —
@@ -3176,6 +3229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_priority_sample": q_doc_priority_sample,
         "walk_ppmi": q_walk_ppmi,
         "doc_dsir": q_doc_dsir,
+        "cms_hosts": q_cms_hosts,
         "graph_attr_mixing": q_graph_attr_mixing,
     }
 
@@ -7021,6 +7075,45 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(COALESCE(h.s, 0.0), 6) AS bm25,
                    CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hit_terms
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "cms_hosts": """
+            WITH stream AS MATERIALIZED (
+                SELECT CASE WHEN doc_id % 13 = 0 THEN 'hot.example'
+                            ELSE 'h' || (doc_id % 97) || '.example'
+                       END AS host
+                FROM documents
+            ),
+            placed AS MATERIALIZED (
+                SELECT host, i AS row,
+                       CAST(CAST('0x' || substr(md5('cmsseed|' || i || '|'
+                                 || host), 1, 15) AS UBIGINT) % 128
+                            AS INT) AS col
+                FROM stream, (SELECT unnest(generate_series(0, 3)) AS i)
+            ),
+            reg AS MATERIALIZED (
+                SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM placed GROUP BY row, col
+            ),
+            regmd5 AS (
+                SELECT md5(array_to_string(
+                           list(row || ':' || col || ':' || cnt
+                                ORDER BY row || ':' || col || ':' || cnt),
+                           ',')) AS register_md5
+                FROM reg
+            ),
+            est AS (
+                SELECT p.host,
+                       MIN(COALESCE(r.cnt, 0)) AS est
+                FROM (SELECT DISTINCT host, row, col FROM placed) p
+                LEFT JOIN reg r USING (row, col)
+                GROUP BY p.host
+            ),
+            exact AS (
+                SELECT host, CAST(COUNT(*) AS BIGINT) AS exact
+                FROM stream GROUP BY host
+            )
+            SELECT e.host, e.est, x.exact, m.register_md5
+            FROM est e JOIN exact x USING (host), regmd5 m
         """,
         "hll_hosts": f"""
             WITH u AS MATERIALIZED (
