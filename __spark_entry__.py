@@ -3156,15 +3156,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_urls": q_bloom_urls,
         "hll_hosts": q_hll_hosts,
         "events_sessions": q_events_sessions,
-        "events_funnel": q_events_funnel,
+        "doc_dsir": q_doc_dsir,
+        "cms_hosts": q_cms_hosts,
         "doc_gopher_quality": q_doc_gopher_quality,
-        "doc_gopher_rep": q_doc_gopher_rep,
         "doc_par_dedup": q_doc_par_dedup,
         "doc_c4_filter": q_doc_c4_filter,
+        # -- end of 50-entry window (the driver verifies exactly the first 50
+        # -- registry entries); rows below keep CORRECTNESS_r04/r05 or
+        # -- ORACLE_SWEEP evidence ------------------------------------------
+        "events_funnel": q_events_funnel,
+        "doc_gopher_rep": q_doc_gopher_rep,
         "doc_winnow": q_doc_winnow,
         "events_retention": q_events_retention,
-        # -- end of 50-entry window; rows below keep CORRECTNESS_r04 or
-        # -- ORACLE_SWEEP_r04 evidence --------------------------------------
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
         "events_daily": q_events_daily,
@@ -3228,8 +3231,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_wl": q_graph_wl,
         "doc_priority_sample": q_doc_priority_sample,
         "walk_ppmi": q_walk_ppmi,
-        "doc_dsir": q_doc_dsir,
-        "cms_hosts": q_cms_hosts,
         "graph_attr_mixing": q_graph_attr_mixing,
     }
 
