@@ -3076,6 +3076,20 @@ def q_walk_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppmi_scores(pairs)
 
 
+
+def q_graph_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION sampled triangle estimate (graph/triangles.py,
+    Tsourakakis KDD'09) on the co-supplier graph at p=0.5: the G8
+    scale tier — wedge work drops ~p^2 under a deterministic
+    md5-threshold edge coin, tri_sampled/p^3 is the unbiased count.
+    The DuckDB twin replays the exact coin (same md5 hex-prefix
+    threshold), the degree orientation and the closing semi-join,
+    so every column is bit-exact."""
+    from k2_18_spark.graph.triangles import doulion_triangles
+
+    return doulion_triangles(spark, _graph_edges(spark, sf_dir), p=0.5)
+
+
 def q_graph_attr_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nominal attribute mixing matrix + Newman assortativity
     (graph/stats.py) on the block graph with 5 planted classes
@@ -3232,6 +3246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_priority_sample": q_doc_priority_sample,
         "walk_ppmi": q_walk_ppmi,
         "graph_attr_mixing": q_graph_attr_mixing,
+        "graph_doulion": q_graph_doulion,
     }
 
 
@@ -7266,6 +7281,47 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(a.active_users / s.cohort_size, 6)
                        AS retention
             FROM act a JOIN sizes s USING (cohort)
+        """,
+        "graph_doulion": f"""
+            WITH e0 AS ({_CO_SUPPLIER_SQL}),
+            und AS (
+                SELECT DISTINCT LEAST(src_id, dst_id) AS a,
+                       GREATEST(src_id, dst_id) AS b
+                FROM e0 WHERE src_id <> dst_id
+            ),
+            kept AS (
+                SELECT a, b FROM und
+                WHERE substr(md5('doulion|' || a || '|' || b), 1, 15)
+                      < '800000000000000'
+            ),
+            deg AS (
+                SELECT v, COUNT(*) AS deg FROM (
+                    SELECT a AS v FROM kept UNION ALL SELECT b FROM kept
+                ) GROUP BY 1
+            ),
+            orient AS (
+                SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+                            THEN u.a ELSE u.b END AS lo,
+                       CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+                            THEN u.b ELSE u.a END AS hi
+                FROM kept u
+                JOIN deg da ON u.a = da.v
+                JOIN deg db ON u.b = db.v
+            ),
+            tri AS (
+                SELECT COUNT(*) AS c
+                FROM orient e1
+                JOIN orient e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+                WHERE EXISTS (
+                    SELECT 1 FROM kept u
+                    WHERE u.a = LEAST(e1.hi, e2.hi) AND u.b = GREATEST(e1.hi, e2.hi)
+                )
+            )
+            SELECT CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
+                   CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_kept,
+                   CAST(tri.c AS BIGINT) AS tri_sampled,
+                   ROUND(tri.c * 8.0, 6) AS estimate
+            FROM tri
         """,
         "graph_attr_mixing": f"""
             WITH raw AS MATERIALIZED ({_KCORE_EDGES_SQL}),

@@ -228,6 +228,18 @@ def main() -> None:
 
     timed("triangles", lambda: float(triangle_count(spark, edges)))
 
+    # DOULION p=0.25 sampled estimate — the G8 100-TB tier: wedge work
+    # drops ~p^2; at p=0.25 the sampled leg should run well under the
+    # exact one while landing near the true count
+    from k2_18_spark.graph.triangles import doulion_triangles
+
+    timed(
+        "triangles_doulion_p25",
+        lambda: float(
+            doulion_triangles(spark, edges, p=0.25).collect()[0]["estimate"]
+        ),
+    )
+
     # CPU-bound sampled-source Brandes (pure-Python work per source over a
     # broadcast CSR — the workload where core-count scaling is visible on
     # a single box; run on a capped subgraph so the CSR collect stays small)

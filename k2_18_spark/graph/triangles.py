@@ -169,3 +169,74 @@ def transitivity(spark: SparkSession, edges: DataFrame) -> float:
     if wedges == 0:
         return 0.0
     return 3.0 * triangle_count(spark, edges) / float(wedges)
+
+
+def doulion_triangles(
+    spark: SparkSession,
+    edges: DataFrame,
+    p: float = 0.25,
+    seed: str = "doulion",
+) -> DataFrame:
+    """DOULION sparsified triangle estimate (Tsourakakis et al.,
+    KDD'09) → ONE row (n_edges, n_kept, tri_sampled, estimate).
+
+    The 100-TB tier for G8: exact wedge enumeration costs
+    O(Σ d_lo(v)²); keeping each canonical undirected edge with
+    probability ``p`` cuts wedge work by ~p² and the closing
+    semi-join by ~p³, while E[tri_sampled / p³] equals the true
+    count (unbiased; Tsourakakis gives the concentration bound).
+
+    The coin is a deterministic md5-threshold draw on the canonical
+    pair (the `mixing.py` idiom) — no RNG state, bit-reproducible
+    across engines and retries, and any DuckDB/SQL oracle can
+    replay the exact sample. ``estimate`` is scaled by a Python
+    float literal (1/p³) so both engines multiply by the identical
+    double.
+    """
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    und = (
+        edges.select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_edges = und.count()
+    # deterministic keep: 60-bit hex draw on "seed|a|b" under threshold.
+    # p == 1 needs a sentinel above every hex string — format(16**15)
+    # is 16 chars starting '1', which lexicographically drops ~15/16
+    # of 15-char draws instead of keeping all.
+    thr = "g" if p >= 1.0 else format(int(max(p, 0.0) * (16**15)), "015x")
+    draw = F.substring(
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    "|", F.lit(seed), F.col("a").cast("string"),
+                    F.col("b").cast("string"),
+                ),
+                "UTF-8",
+            )
+        ),
+        1,
+        15,
+    )
+    kept = und.filter(draw < F.lit(thr)).persist(StorageLevel.MEMORY_AND_DISK)
+    n_kept = kept.count()
+    und.unpersist()
+    tri_sampled = triangle_list(
+        spark, kept.select(F.col("a").alias("src_id"), F.col("b").alias("dst_id"))
+    ).count()
+    kept.unpersist()
+    scale = 1.0 / (p * p * p)
+    return spark.createDataFrame(
+        [(n_edges, n_kept, tri_sampled)],
+        "n_edges long, n_kept long, tri_sampled long",
+    ).select(
+        "n_edges",
+        "n_kept",
+        "tri_sampled",
+        F.round(F.col("tri_sampled") * F.lit(scale), 6).alias("estimate"),
+    )

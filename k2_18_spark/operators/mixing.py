@@ -51,9 +51,12 @@ def _draw(id_col: Column, seed: str) -> Column:
 
 def _threshold_hex(frac: float) -> str:
     """Hex literal t such that P(draw < t) = frac for a uniform
-    60-bit draw."""
-    frac = min(max(frac, 0.0), 1.0)
-    return format(int(frac * (16 ** 15)), "015x")
+    60-bit draw. frac >= 1 returns 'g', which sorts above every
+    15-char hex draw — format(16**15) would be a 16-char string
+    starting '1' and lexicographically drop ~15/16 of draws."""
+    if frac >= 1.0:
+        return "g"
+    return format(int(max(frac, 0.0) * (16 ** 15)), "015x")
 
 
 def stratified_sample(
