@@ -3090,6 +3090,43 @@ def q_graph_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doulion_triangles(spark, _graph_edges(spark, sf_dir), p=0.5)
 
 
+
+def q_doc_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-linear histogram sketch (functions/histsketch.py,
+    the HdrHistogram/DDSketch bucket scheme) over document lengths:
+    integer-only bucket math (bit length + shift), so the DuckDB twin
+    reproduces every (bucket, cnt) register bit-for-bit."""
+    from k2_18_spark.functions.histsketch import hist_sketch
+
+    return hist_sketch(
+        _load(spark, sf_dir, "documents"), "n_chars", sub_bits=4
+    )
+
+
+def q_doc_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile lookups on the length sketch: rank = max(1, ceil(q*N)),
+    answer = decoded lower bound of the first bucket whose cumsum
+    reaches the rank — within relative error 2^-4 of the exact order
+    statistic, replayed exactly by the oracle's window cumsum."""
+    from k2_18_spark.functions.histsketch import hist_quantiles, hist_sketch
+
+    sk = hist_sketch(_load(spark, sf_dir, "documents"), "n_chars", sub_bits=4)
+    return hist_quantiles(sk, [0.5, 0.9, 0.99, 1.0], sub_bits=4)
+
+
+def q_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPUT-style distributed top-k (operators/topk.py): per-partition
+    top-m summaries (part = event_id % 16 — a row attribute, so the
+    run is engine-reproducible) merged into provable lb/ub count
+    bounds; top-10 users by lb with m=8."""
+    from k2_18_spark.operators.topk import approx_topk
+
+    ev = _load(spark, sf_dir, "events").select(
+        (F.col("event_id") % 16).alias("part"), "user_id"
+    )
+    return approx_topk(ev, "user_id", "part", k=10, m=8)
+
+
 def q_graph_attr_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nominal attribute mixing matrix + Newman assortativity
     (graph/stats.py) on the block graph with 5 planted classes
@@ -3247,6 +3284,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_ppmi": q_walk_ppmi,
         "graph_attr_mixing": q_graph_attr_mixing,
         "graph_doulion": q_graph_doulion,
+        "doc_len_hist": q_doc_len_hist,
+        "doc_len_quantiles": q_doc_len_quantiles,
+        "events_topk_users": q_events_topk_users,
     }
 
 
@@ -7281,6 +7321,78 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(a.active_users / s.cohort_size, 6)
                        AS retention
             FROM act a JOIN sizes s USING (cohort)
+        """,
+        "doc_len_hist": """
+            SELECT (CASE WHEN CAST(n_chars AS BIGINT) < 32 THEN CAST(n_chars AS BIGINT) ELSE CAST((length(bin(CAST(n_chars AS BIGINT))) - 1) AS BIGINT) * 16 + (CAST(n_chars AS BIGINT) >> CAST((length(bin(CAST(n_chars AS BIGINT))) - 1 - 4) AS INT)) - 16 END) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM documents GROUP BY 1
+        """,
+        "doc_len_quantiles": """
+            WITH sk AS (
+                SELECT (CASE WHEN CAST(n_chars AS BIGINT) < 32 THEN CAST(n_chars AS BIGINT) ELSE CAST((length(bin(CAST(n_chars AS BIGINT))) - 1) AS BIGINT) * 16 + (CAST(n_chars AS BIGINT) >> CAST((length(bin(CAST(n_chars AS BIGINT))) - 1 - 4) AS INT)) - 16 END) AS bucket, COUNT(*) AS cnt
+                FROM documents GROUP BY 1
+            ),
+            cum AS (
+                SELECT bucket, cnt,
+                       SUM(cnt) OVER (ORDER BY bucket) AS cum
+                FROM sk
+            ),
+            n AS (SELECT SUM(cnt) AS n FROM sk),
+            qs AS (SELECT UNNEST([0.5, 0.9, 0.99, 1.0]) AS q),
+            ranks AS (
+                SELECT q, n.n,
+                       GREATEST(1, CAST(CEIL(q * n.n) AS BIGINT)) AS rank
+                FROM qs, n
+            ),
+            hit AS (
+                SELECT r.q, r.n, r.rank, MIN(c.bucket) AS bucket
+                FROM ranks r JOIN cum c ON c.cum >= r.rank
+                GROUP BY 1, 2, 3
+            )
+            SELECT q,
+                   CAST(CASE WHEN bucket < 32 THEN bucket ELSE CAST((16 + bucket % 16) * POWER(2.0, bucket // 16 - 4) AS BIGINT) END AS BIGINT) AS value,
+                   rank, CAST(n AS BIGINT) AS n
+            FROM hit
+        """,
+        "events_topk_users": """
+            WITH c AS (
+                SELECT event_id % 16 AS part, user_id AS key,
+                       COUNT(*) AS cnt
+                FROM events GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT part, key, cnt,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY part ORDER BY cnt DESC, key ASC
+                       ) AS rn
+                FROM c
+            ),
+            tops AS (SELECT * FROM r WHERE rn <= 8),
+            fl AS (
+                SELECT part,
+                       CASE WHEN MAX(rn) < 8 THEN 0
+                            ELSE MAX(CASE WHEN rn = 8 THEN cnt END)
+                       END AS floor_p
+                FROM r GROUP BY 1
+            ),
+            tf AS (SELECT SUM(floor_p) AS total_floor FROM fl),
+            pk AS (
+                SELECT t.key, SUM(t.cnt) AS lb,
+                       SUM(f.floor_p) AS seen_floor
+                FROM tops t JOIN fl f USING (part)
+                GROUP BY 1
+            ),
+            b AS (
+                SELECT key, CAST(lb AS BIGINT) AS lb,
+                       CAST(lb + tf.total_floor - seen_floor AS BIGINT) AS ub
+                FROM pk, tf
+            ),
+            rk AS (
+                SELECT key, lb, ub,
+                       ROW_NUMBER() OVER (ORDER BY lb DESC, key ASC) AS rk
+                FROM b
+            )
+            SELECT key, lb, ub FROM rk WHERE rk <= 10
         """,
         "graph_doulion": f"""
             WITH e0 AS ({_CO_SUPPLIER_SQL}),
