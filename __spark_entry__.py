@@ -7338,7 +7338,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM sk
             ),
             n AS (SELECT SUM(cnt) AS n FROM sk),
-            qs AS (SELECT UNNEST([0.5, 0.9, 0.99, 1.0]) AS q),
+            qs AS (SELECT CAST(UNNEST([0.5, 0.9, 0.99, 1.0]) AS DOUBLE) AS q),
             ranks AS (
                 SELECT q, n.n,
                        GREATEST(1, CAST(CEIL(q * n.n) AS BIGINT)) AS rank
@@ -7432,7 +7432,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
                    CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_kept,
                    CAST(tri.c AS BIGINT) AS tri_sampled,
-                   ROUND(tri.c * 8.0, 6) AS estimate
+                   ROUND(CAST(tri.c AS DOUBLE) * 8.0, 6) AS estimate
             FROM tri
         """,
         "graph_attr_mixing": f"""
