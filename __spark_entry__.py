@@ -2067,6 +2067,30 @@ def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source shortest paths (graph/sssp.py, G40 —
+    frontier Bellman-Ford superstep) on the co-supplier graph: lengths
+    = 1/weight (the F11 affinity→distance map), seeds = the 3
+    lexicographically-smallest supplier ids, directed. Emits every
+    REACHED vertex with its distance (6dp) and the hop count of the
+    fewest-hop shortest path (lexicographic (dist, hops) min — the
+    deterministic tie-break the DuckDB twin replays). Distances are
+    min-folds of bit-identical double sums, so the comparison is exact
+    at the 6dp grid."""
+    from k2_18_spark.graph.sssp import sssp
+
+    edges = _graph_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src_id").alias("id"))
+        .union(edges.select("dst_id"))
+        .distinct()
+        .orderBy("id")
+        .limit(3)
+    )
+    out = sssp(spark, edges, seeds, weight_mode="inverse", directed=True)
+    return out.select("id", F.round("distance", 6).alias("distance"), "hops")
+
+
 def q_graph_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic node2vec corpus (graph/walks.py:node2vec_walks,
     Grover & Leskovec KDD'16) on the block graph: 2 walks × 6 steps,
@@ -3155,10 +3179,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the correctness harness evaluates the first
     # 50 entries. The window below carries (a) the 13 core link-graph
     # contract rows (pages extract->edges->pagerank->anchors, the four
-    # north-rule graph algorithms, dedup/refiner/mentions/upsert/trim) and
-    # (b) 37 operators whose only prior hard evidence was the builder-side
-    # oracle sweep (ORACLE_SWEEP_r04.json, 114/114 green). Rows 51+ retain
-    # their green CORRECTNESS_r04.json evidence or sweep coverage.
+    # north-rule graph algorithms, dedup/refiner/mentions/upsert/trim),
+    # (b) operators whose only prior hard evidence was the builder-side
+    # oracle sweep (ORACLE_SWEEP_r04.json, 114/114 green), and (c) the
+    # round-5 additions (warm PR, node2vec, SSSP, DSIR, CMS). Rows 51+
+    # retain their green CORRECTNESS_r04.json evidence or sweep coverage
+    # (ORACLE_SWEEP_r05.json, 123/123 green).
     return {
         # -- core contract rows (all green in CORRECTNESS_r04) ------------
         "pages_linkgraph": q_pages_linkgraph,
@@ -3196,6 +3222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_seeded_labels": q_graph_seeded_labels,
         "graph_walks": q_graph_walks,
         "graph_node2vec": q_graph_node2vec,
+        "graph_sssp": q_graph_sssp,
         "walk_skipgrams": q_walk_skipgrams,
         "url_canonical": q_url_canonical,
         "url_redirects": q_url_redirects,
@@ -6013,6 +6040,57 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list(cur ORDER BY st), '>') AS path,
                    CAST(COUNT(*) AS INT) AS length
             FROM steps GROUP BY walk_id
+        """,
+        # frontier Bellman-Ford ≡ full-vector Bellman-Ford round for
+        # round (non-frontier relaxations are dominated by earlier
+        # rounds), so the recursive CTE replays the engine recurrence
+        # exactly: per-round candidate = dist[src] + w on identical
+        # doubles, lexicographic (dist, hops) min, stop when nothing
+        # improves. bf's working table holds ONE row per reached vertex.
+        "graph_sssp": f"""
+            WITH RECURSIVE
+            e0 AS MATERIALIZED ({_CO_SUPPLIER_SQL}),
+            rel AS MATERIALIZED (
+                SELECT src_id, dst_id, MIN(1.0 / weight) AS w
+                FROM e0 WHERE src_id <> dst_id GROUP BY 1, 2
+            ),
+            seeds AS MATERIALIZED (
+                SELECT id FROM (
+                    SELECT src_id AS id FROM e0 UNION SELECT dst_id FROM e0
+                ) ORDER BY id LIMIT 3
+            ),
+            bf(iter, id, dist, hops, changed) AS (
+                SELECT 0, id, CAST(0 AS DOUBLE), 0, 1 FROM seeds
+                UNION ALL
+                SELECT s.iter, s.id, s.dist, s.hops,
+                       CAST(SUM(s.improved) OVER () AS INT) AS changed
+                FROM (
+                    SELECT g.iter, g.id, g.dist, g.hops,
+                           CASE WHEN o.dist IS NULL OR g.dist < o.dist
+                                     OR (g.dist = o.dist AND g.hops < o.hops)
+                                THEN 1 ELSE 0 END AS improved
+                    FROM (
+                        SELECT iter, id, dist, MIN(hops) AS hops FROM (
+                            SELECT c.iter, c.id, c.dist, c.hops,
+                                   MIN(c.dist) OVER (PARTITION BY c.id) AS mind
+                            FROM (
+                                SELECT p.iter + 1 AS iter, r.dst_id AS id,
+                                       p.dist + r.w AS dist, p.hops + 1 AS hops
+                                FROM bf p JOIN rel r ON p.id = r.src_id
+                                WHERE p.changed > 0 AND p.iter < 300
+                                UNION ALL
+                                SELECT p.iter + 1, p.id, p.dist, p.hops
+                                FROM bf p
+                                WHERE p.changed > 0 AND p.iter < 300
+                            ) c
+                        ) WHERE dist = mind
+                        GROUP BY iter, id, dist
+                    ) g
+                    LEFT JOIN bf o ON o.id = g.id
+                ) s
+            )
+            SELECT id, ROUND(dist, 6) AS distance, CAST(hops AS INT) AS hops
+            FROM bf WHERE iter = (SELECT MAX(iter) FROM bf)
         """,
         "graph_node2vec": f"""
             WITH raw AS MATERIALIZED ({_KCORE_EDGES_SQL}),

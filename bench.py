@@ -323,6 +323,21 @@ def main() -> None:
         ).count(),
     )
 
+    # weighted SSSP (graph/sssp.py): frontier Bellman-Ford from 4 seed
+    # vertices, lengths = edge weight. State is the sparse reached set;
+    # each superstep shuffles only the frontier vector against the
+    # persisted src-partitioned edge relation — the cheapest loop in
+    # the graph section and the purest fixed-cost-per-round probe.
+    from k2_18_spark.graph.sssp import sssp
+
+    timed(
+        "sssp_4src",
+        lambda: sssp(
+            spark, edges, ["v0", "v1", "v2", "v3"], nodes=nodes,
+            weight_mode="weight",
+        ).count(),
+    )
+
     # graph section done — release its caches so the data-pipeline
     # queries below aren't fighting them for executor memory
     adj.unpersist()
