@@ -96,6 +96,39 @@ def test_sssp_tie_breaks_to_fewer_hops(spark):
     assert got["V3"] == (2.0, 1)
 
 
+def test_sssp_float_collision_hops_lex_dominate_dijkstra(spark):
+    """IEEE754 tie-break sharp edge (documented in BASELINE.md): two
+    DIFFERENT paths to P whose float sums bit-collide after +1.0.
+
+      S→X→P        0.1+0.2           = 0.30000000000000004  (2 hops)
+      S→Y1→Y2→P    0.025+0.125+0.15  = 0.3 exactly          (3 hops)
+      P→V          +1.0 → BOTH sums round to exactly 1.3
+
+    P's lex-min is (0.3, 3). The 2-hop prefix (0.30000000000000004, 2)
+    is transient — but its round-3 relaxation gives V (1.3, 3), which
+    is the TRUE fewest-hops among bit-equal-1.3 paths (S→X→P→V is a
+    real 3-hop path of float length 1.3). Per-vertex Dijkstra relaxes
+    only settled pairs, so it would report (1.3, 4) for V. The engine's
+    round-replay semantics keep (1.3, 3): it lex-dominates Dijkstra
+    pointwise (every engine pair is a real path value, and every
+    settled-pair relaxation Dijkstra makes is eventually re-applied by
+    the engine with the same operand bits)."""
+    assert 0.1 + 0.2 == 0.30000000000000004
+    assert 0.025 + 0.125 + 0.15 == 0.3
+    assert 0.30000000000000004 + 1.0 == 1.3 == 0.3 + 1.0
+    wl = [
+        (0, 1, 0.1), (1, 2, 0.2),                       # S→X→P
+        (0, 3, 0.025), (3, 4, 0.125), (4, 2, 0.15),     # S→Y1→Y2→P
+        (2, 5, 1.0),                                    # P→V
+    ]
+    got = {
+        r["id"]: (r["distance"], r["hops"])
+        for r in sssp(spark, _edges_df(spark, wl), _src_df(spark, [0])).collect()
+    }
+    assert got["V2"] == (0.3, 3)   # lex-min at P: exact 0.3 beats ...004
+    assert got["V5"] == (1.3, 3)   # true fewest-hops; Dijkstra says 4
+
+
 def test_sssp_unreachable_absent_and_directed(spark):
     wl = [(0, 1, 1.0), (2, 0, 1.0)]  # V2 is upstream of the source
     got = {r["id"] for r in
