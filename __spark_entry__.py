@@ -3115,6 +3115,19 @@ def q_graph_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_graph_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum spanning forest (graph/msf.py, G41) on the
+    co-supplier graph: every component bids its lexicographic-min
+    (weight, a, b) cross edge per round, merge trees flatten by
+    pointer doubling. The strict total order makes the MSF unique, so
+    the DuckDB twin — the same rounds unrolled, with a recursive
+    min-label closure recomputing components over the accumulated
+    forest after each round — reproduces the edge set bit-for-bit."""
+    from k2_18_spark.graph.msf import minimum_spanning_forest
+
+    return minimum_spanning_forest(spark, _graph_edges(spark, sf_dir))
+
+
 def q_doc_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log-linear histogram sketch (functions/histsketch.py,
     the HdrHistogram/DDSketch bucket scheme) over document lengths:
@@ -3314,6 +3327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_len_hist": q_doc_len_hist,
         "doc_len_quantiles": q_doc_len_quantiles,
         "events_topk_users": q_events_topk_users,
+        "graph_msf": q_graph_msf,
     }
 
 
@@ -3324,6 +3338,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # unrolled argmin step CTEs for the graph_walks oracle: step t picks
 # min(md5('wseed|' walk_id '|' t '|' dst) || dst) — the 32-hex digest is
 # fixed-width, so string order == the engine's (key, dst) struct order
+# unrolled Borůvka rounds for the graph_msf oracle: each round bids the
+# (w, a, b)-min cross edge per component (ROW_NUMBER twin of the engine's
+# struct min — DuckDB binary string order == Spark's on these ASCII ids),
+# appends the picks, and recomputes component labels with a recursive
+# min-label closure over the accumulated forest. Components at least
+# halve per round, so 8 rounds cover ≤256 vertices (sf0.01 has 100
+# suppliers; extra rounds are idempotent no-ops once converged).
+def _msf_round_sql(k: int) -> str:
+    p = k - 1
+    return f"""            cross{k} AS MATERIALIZED (
+                SELECT p.a, p.b, p.w, x.c AS ca, y.c AS cb
+                FROM mpairs p
+                JOIN comp{p} x ON p.a = x.v
+                JOIN comp{p} y ON p.b = y.v
+                WHERE x.c <> y.c
+            ),
+            bids{k} AS MATERIALIZED (
+                SELECT ca AS comp, w, a, b FROM cross{k}
+                UNION ALL
+                SELECT cb AS comp, w, a, b FROM cross{k}
+            ),
+            pick{k} AS MATERIALIZED (
+                SELECT DISTINCT a, b, w FROM (
+                    SELECT a, b, w,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY comp ORDER BY w, a, b
+                           ) AS rn
+                    FROM bids{k}
+                ) WHERE rn = 1
+            ),
+            msf{k} AS MATERIALIZED (
+                SELECT * FROM msf{p} UNION ALL SELECT * FROM pick{k}
+            ),
+            sym{k} AS MATERIALIZED (
+                SELECT a AS x, b AS y FROM msf{k}
+                UNION ALL
+                SELECT b, a FROM msf{k}
+            ),
+            reach{k}(v, r) AS (
+                SELECT v, v FROM mverts
+                UNION
+                SELECT s.y, t.r FROM sym{k} s JOIN reach{k} t ON s.x = t.v
+            ),
+            comp{k} AS MATERIALIZED (SELECT v, MIN(r) AS c FROM reach{k} GROUP BY v)"""
+
+
+_MSF_ROUNDS_SQL = ",\n".join(_msf_round_sql(k) for k in range(1, 9))
+
 _WALK_STEPS_SQL = "\n".join(
     f"""            s{t} AS (
                 SELECT p.walk_id,
@@ -7471,6 +7533,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM b
             )
             SELECT key, lb, ub FROM rk WHERE rk <= 10
+        """,
+        "graph_msf": f"""
+            WITH RECURSIVE e0 AS MATERIALIZED ({_CO_SUPPLIER_SQL}),
+            mpairs AS MATERIALIZED (
+                SELECT LEAST(src_id, dst_id) AS a,
+                       GREATEST(src_id, dst_id) AS b,
+                       MIN(weight) AS w
+                FROM e0 WHERE src_id <> dst_id GROUP BY 1, 2
+            ),
+            mverts AS MATERIALIZED (SELECT a AS v FROM mpairs UNION SELECT b FROM mpairs),
+            comp0 AS (SELECT v, v AS c FROM mverts),
+            msf0 AS (SELECT a, b, w FROM mpairs WHERE 1 = 0),
+{_MSF_ROUNDS_SQL}
+            SELECT a AS src_id, b AS dst_id, w AS weight FROM msf8
         """,
         "graph_doulion": f"""
             WITH e0 AS ({_CO_SUPPLIER_SQL}),

@@ -338,6 +338,16 @@ def main() -> None:
         ).count(),
     )
 
+    # Borůvka minimum spanning forest (graph/msf.py): per-component
+    # min-edge bids + pointer-doubling contraction — ≤ log2(V) outer
+    # rounds over the once-persisted canonical pair table.
+    from k2_18_spark.graph.msf import minimum_spanning_forest
+
+    timed(
+        "msf",
+        lambda: minimum_spanning_forest(spark, edges, nodes=nodes).count(),
+    )
+
     # graph section done — release its caches so the data-pipeline
     # queries below aren't fighting them for executor memory
     adj.unpersist()
