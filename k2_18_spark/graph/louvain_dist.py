@@ -149,9 +149,13 @@ def _move_phase(
     ]
     # weighted degree k_i = Σ incident w + 2·self-loop mass (the
     # undirected degree convention modularity uses); vertices with ONLY
-    # a self-loop still appear via the selfw union
+    # a self-loop still appear via the selfw union. Computed off the
+    # persisted canonical pair table (both endpoint directions), not
+    # off sym_all — sym_all's repartition-by-nbr would re-shuffle 2|E|
+    # rows just to build this one |V|-row vector (r6, guide §2.4).
     k = (
-        sym_all.select("v", "w")
+        proj.select(F.col("a").alias("v"), "w")
+        .union(proj.select(F.col("b").alias("v"), "w"))
         .union(selfw.select("v", (F.col("s") * 2).alias("w")))
         .groupBy("v")
         .agg(F.sum("w").alias("k"))
@@ -204,15 +208,21 @@ def _move_phase(
         cur = comm.filter(F.pmod(F.col("v"), F.lit(2)) == F.lit(r % 2)).select(
             "v", F.col("c").alias("c0"), "k"
         )
-        # candidates = neighbor communities ∪ the current one (k_in 0
-        # when no neighbor shares it); groupBy-max collapses the union
-        cand = (
-            k_in.unionByName(
-                cur.select("v", F.col("c0").alias("c"), F.lit(0.0).alias("k_in"))
-            )
-            .groupBy("v", "c")
-            .agg(F.max("k_in").alias("k_in"))
-        )
+        # r6 rework (guide §2.4): the old plan unioned a synthetic
+        # (v, c0, 0.0) stay row into k_in and re-aggregated — the union
+        # destroyed k_in's hash(v) partitioning, costing TWO extra
+        # exchanges of the candidate table per round (groupBy(v,c),
+        # then the re-exchange for the join on v). Now the neighbor
+        # candidates aggregate in place (k_in is already partitioned by
+        # v) and the stay option is synthesized on the |V|/2-row `cur`
+        # side: stay score with k_in=0 comes from one broadcast join of
+        # sigma on c0, and `greatest` against the aggregated neighbor
+        # max reproduces the old merged-candidate argmax exactly —
+        # including the k_in(c0) ≥ 0 clamp the union's max gave, since
+        # score is monotone in k_in and round() is monotone, so
+        # greatest(actual-c0 score, zero-k_in score) ==
+        # score(max(k_in, 0)). score0 (the realized stay score) feeds
+        # the gain/ΔQ observability unchanged.
         score = (
             F.col("k_in")
             - gamma
@@ -220,26 +230,45 @@ def _move_phase(
             * F.col("k")
             / two_m
         )
+        stay_score = (
+            F.lit(0.0) - gamma * (F.col("tot") - F.col("k")) * F.col("k") / two_m
+        )
         if score_round is not None:
             score = F.round(score, score_round)
-        # score0 (the score of staying put) rides along so the realized
-        # per-move gain ΔQ·m = best_score − score0 is free — the
-        # plateau exit and the LAST_RUN_LEVEL_DQ observability both
-        # read it out of the same aggregate
-        best = (
-            cand.join(cur.hint("shuffle_hash"), "v")
+            stay_score = F.round(stay_score, score_round)
+        nb = (
+            k_in.join(cur.hint("shuffle_hash"), "v")
             .join(sigma, "c")
+            .groupBy("v")
+            .agg(
+                F.max(
+                    F.struct(
+                        score.alias("score"),
+                        (F.col("c") == F.col("c0")).cast("int").alias("stay"),
+                        (-F.col("c")).alias("neg_c"),
+                    )
+                ).alias("m"),
+                F.max(F.when(F.col("c") == F.col("c0"), score)).alias("s0"),
+            )
+        )
+        stay = cur.join(
+            sigma.withColumnRenamed("c", "c0"), "c0"
+        ).select(
+            "v",
+            F.struct(
+                stay_score.alias("score"),
+                F.lit(1).cast("int").alias("stay"),
+                (-F.col("c0")).alias("neg_c"),
+            ).alias("m0"),
+            stay_score.alias("s0b"),
+        )
+        best = (
+            stay.join(nb, "v", "left")
             .select(
                 "v",
-                F.struct(
-                    score.alias("score"),
-                    (F.col("c") == F.col("c0")).cast("int").alias("stay"),
-                    (-F.col("c")).alias("neg_c"),
-                ).alias("cand"),
-                F.when(F.col("c") == F.col("c0"), score).alias("score0"),
+                F.greatest("m", "m0").alias("m"),
+                F.greatest("s0", "s0b").alias("s0"),
             )
-            .groupBy("v")
-            .agg(F.max("cand").alias("m"), F.max("score0").alias("s0"))
             .select(
                 "v",
                 (-F.col("m.neg_c")).alias("best_c"),

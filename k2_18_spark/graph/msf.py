@@ -46,11 +46,16 @@ validated up front with one aggregate.
 
 from __future__ import annotations
 
+import logging
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from k2_18_spark.graph.adjacency import dense_vertex_ids, vertex_ids
+
+log = logging.getLogger(__name__)
 
 # supersteps executed by the most recent run (observability — the
 # pagerank.LAST_RUN_ITERATIONS idiom)
@@ -64,6 +69,7 @@ def minimum_spanning_forest(
     max_iter: int = 64,
     num_partitions: int | None = None,
     driver_flatten_max: int = 2_000_000,
+    driver_kruskal_max: int = 1_000_000,
 ) -> DataFrame:
     """→ DataFrame ``(src_id, dst_id, weight double)`` — the unique
     minimum spanning forest of the undirected projection under the
@@ -82,7 +88,8 @@ def minimum_spanning_forest(
 
     with superstep_conf(spark):
         return _msf_loop(
-            spark, edges, nodes, max_iter, num_partitions, driver_flatten_max
+            spark, edges, nodes, max_iter, num_partitions,
+            driver_flatten_max, driver_kruskal_max,
         )
 
 
@@ -113,7 +120,40 @@ def _driver_flatten(pairs: list) -> dict:
     return root
 
 
-def _msf_loop(spark, edges, nodes, max_iter, num_partitions, driver_flatten_max):
+def _driver_kruskal(pdf) -> list:
+    """Kruskal over the collected contracted live edge set
+    (ca, cb, w, ka, kb) under the strict (w, ka, kb) total order —
+    the driver finish tier: once the contracted graph is small the
+    fixed ~3-job-per-round superstep floor dwarfs the work, and the
+    MSF of the contracted graph equals the remaining forest edges
+    (uniqueness under the strict order). Returns [(ka, kb, w), ...]."""
+    order = sorted(
+        zip(
+            pdf["w"].tolist(), pdf["ka"].tolist(), pdf["kb"].tolist(),
+            pdf["ca"].tolist(), pdf["cb"].tolist(),
+        )
+    )
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    picked = []
+    for w, ka, kb, ca, cb in order:
+        ra, rb = find(ca), find(cb)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            picked.append((ka, kb, w))
+    return picked
+
+
+def _msf_loop(spark, edges, nodes, max_iter, num_partitions,
+              driver_flatten_max, driver_kruskal_max):
     global LAST_RUN_ITERATIONS
     out_schema = "src_id string, dst_id string, weight double"
 
@@ -147,46 +187,83 @@ def _msf_loop(spark, edges, nodes, max_iter, num_partitions, driver_flatten_max)
         verts.unpersist()
         return spark.createDataFrame([], out_schema)
 
+    # r6 rework (guide §2.4): Borůvka WITH EDGE CONTRACTION. The r5
+    # loop kept the full |E| pair table fixed and re-attached the |V|
+    # component-label vector to BOTH endpoints every round (two joins,
+    # one forcing a fresh |E|-row exchange on vb per round, string
+    # endpoints riding every shuffle). But (a) the per-vertex label
+    # vector is never part of the output — only the forest edges are —
+    # and (b) an edge that goes intra-component can never go cross
+    # again, so the live edge set can be RELABELED AND FILTERED in
+    # place each round: endpoints become component ids, the relabel map
+    # has one row per still-active component (geometrically shrinking,
+    # broadcast below the same driver-tier threshold), and round 1
+    # needs no label join at all (labels start as the identity).
+    # Strings leave the loop entirely: the min key is (w, ka, kb) on
+    # the dense encoding — monotone in the string ids — and the ≤|V|-1
+    # forest rows decode once at the end. Identical trajectory, same
+    # unique MSF.
     enc_a = verts.select(F.col("id").alias("a"), F.col("ord").alias("va"))
     enc_b = verts.select(F.col("id").alias("b"), F.col("ord").alias("vb"))
-    pairs = (
+    live = (
         pairs.join(enc_a.hint("shuffle_hash"), "a")
         .join(enc_b.hint("shuffle_hash"), "b")
-        .select("va", "vb", "w", "a", "b")
-        .repartition(*([num_partitions, "va"] if num_partitions else ["va"]))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    pairs.count()  # eager — supersteps must not pay the build
-
-    # component label per vertex (starts as itself)
-    comp = verts.select(F.col("ord").alias("v"), F.col("ord").alias("c"))
-    comp = comp.localCheckpoint(eager=True)
-
-    forest_parts: list[DataFrame] = []
-    LAST_RUN_ITERATIONS = 0
-    for it in range(max_iter):
-        lab_a = comp.select(F.col("v").alias("va"), F.col("c").alias("ca"))
-        lab_b = comp.select(F.col("v").alias("vb"), F.col("c").alias("cb"))
-        cross = (
-            pairs.join(lab_a.hint("shuffle_hash"), "va")
-            .join(lab_b.hint("shuffle_hash"), "vb")
-            .filter(F.col("ca") != F.col("cb"))
-        )
-        # each endpoint component bids its lexicographic-min edge; the
-        # struct min is associative → map-side combinable under hubs.
-        # (w, ka, kb) already identifies the edge uniquely; the string
-        # endpoints ride along for the output and never drive the min.
-        key = F.struct(
-            F.col("w").alias("w"),
+        .select(
+            F.col("va").alias("ca"),
+            F.col("vb").alias("cb"),
+            "w",
             F.col("va").alias("ka"),
             F.col("vb").alias("kb"),
-            F.col("a").alias("a"),
-            F.col("b").alias("b"),
         )
-        bids = cross.select(
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # (no repartition: nothing in the loop relies on a specific edge
+    # partitioning — the bids groupBy does its own exchange and the
+    # old probe-join layout is gone, so the extra full |E| exchange
+    # the r5 build paid bought nothing)
+    live_rows = live.count()  # eager — supersteps must not pay the build
+
+    forest_parts: list[DataFrame] = []
+    cands: list[DataFrame] = []
+    LAST_RUN_ITERATIONS = 0
+    for it in range(max_iter):
+        _t0 = time.time()
+        if live_rows == 0:
+            break
+        if live_rows <= driver_kruskal_max:
+            # driver finish tier (count-guarded, ≤40 B/row): Kruskal
+            # over the contracted remainder — identical edges (unique
+            # MSF), none of the ~3-job-per-round superstep floor
+            picked = _driver_kruskal(live.toPandas())
+            if picked:
+                import pandas as pd
+
+                forest_parts.append(
+                    spark.createDataFrame(
+                        pd.DataFrame(
+                            picked, columns=["ka", "kb", "w"]
+                        ),
+                        "ka long, kb long, w double",
+                    )
+                )
+            LAST_RUN_ITERATIONS = it + 1
+            log.info(
+                "msf round=%d driver-kruskal rows=%d wall=%.1fs",
+                it, live_rows, time.time() - _t0,
+            )
+            break
+        # each endpoint component bids its lexicographic-min edge; the
+        # struct min is associative → map-side combinable under hubs.
+        # (w, ka, kb) identifies the edge uniquely.
+        key = F.struct(
+            F.col("w").alias("w"),
+            F.col("ka").alias("ka"),
+            F.col("kb").alias("kb"),
+        )
+        bids = live.select(
             F.col("ca").alias("comp"), key.alias("k"), F.col("cb").alias("other")
         ).union(
-            cross.select(
+            live.select(
                 F.col("cb").alias("comp"), key.alias("k"), F.col("ca").alias("other")
             )
         )
@@ -197,31 +274,43 @@ def _msf_loop(spark, edges, nodes, max_iter, num_partitions, driver_flatten_max)
             .agg(F.min(F.struct(F.col("k"), F.col("other"))).alias("m"))
             .select(
                 "comp",
-                F.col("m.k.a").alias("a"),
-                F.col("m.k.b").alias("b"),
+                F.col("m.k.ka").alias("ka"),
+                F.col("m.k.kb").alias("kb"),
                 F.col("m.k.w").alias("w"),
                 F.col("m.other").alias("parent"),
             )
             .localCheckpoint(eager=False)
         )
         n_active = cand.count()
+        _t1 = time.time()
         LAST_RUN_ITERATIONS = it + 1
         if n_active == 0:  # no cross-component edge anywhere — done
             cand.unpersist()
             break
-        picked = cand.select("a", "b", "w").distinct().localCheckpoint(eager=True)
-        forest_parts.append(picked)
+        # the checkpointed cand stays alive until the final union, so
+        # the picked edges need no extra eager materialization per round
+        cands.append(cand)
+        forest_parts.append(cand.select("ka", "kb", "w").distinct())
 
         # hook: parent[comp] = other-endpoint component of its min edge.
         # Mutual 2-cycles (both picked the same edge) root at the
         # smaller label; longer cycles cannot exist under a strict
         # total order. Flatten tier by the row count just measured.
         if n_active <= driver_flatten_max:
+            # Arrow both ways (r6): row-collect + pickled createDataFrame
+            # measured ~seconds per round at 10^5 components; the same
+            # 16 B/row through Arrow is milliseconds
+            pdf = cand.select("comp", "parent").toPandas()
             root = _driver_flatten(
-                [(r["comp"], r["parent"]) for r in cand.select("comp", "parent").collect()]
+                list(zip(pdf["comp"].tolist(), pdf["parent"].tolist()))
             )
+            import pandas as pd
+
             relabel = spark.createDataFrame(
-                list(root.items()), "c long, root long"
+                pd.DataFrame(
+                    {"c": list(root.keys()), "root": list(root.values())}
+                ),
+                "c long, root long",
             )
         else:
             par0 = cand.select("comp", "parent")
@@ -270,15 +359,62 @@ def _msf_loop(spark, edges, nodes, max_iter, num_partitions, driver_flatten_max)
             relabel = par.select(
                 F.col("comp").alias("c"), F.col("parent").alias("root")
             )
-        cand.unpersist()
 
-        prev_comp = comp
-        comp = (
-            comp.join(relabel.hint("shuffle_hash"), "c", "left")
-            .select("v", F.coalesce("root", "c").alias("c"))
-            .localCheckpoint(eager=True)
+        # contract: relabel both endpoints of the live edge set to the
+        # round's roots and drop the now-intra-component rows. Every
+        # bidding component is in `relabel` (n_active rows); broadcast
+        # below the driver tier keeps the live table's partitioning,
+        # above it the shuffle-hash join runs on the shrinking tables.
+        if n_active <= driver_flatten_max:
+            ra = F.broadcast(relabel)
+            rb = F.broadcast(relabel)
+        else:
+            ra = relabel.hint("shuffle_hash")
+            rb = relabel.hint("shuffle_hash")
+        # relabel, drop intra-component rows, then COLLAPSE parallel
+        # component pairs to their (w, ka, kb)-min edge — any future
+        # merge's min edge between two component groups is the min over
+        # per-pair minima, so dropping dominated parallels preserves
+        # every later bid; this is what makes `live` (not just the
+        # component count) shrink geometrically, so the driver-Kruskal
+        # finish tier actually engages.
+        relabeled = (
+            live.join(ra.withColumnRenamed("c", "ca"), "ca", "left")
+            .withColumnRenamed("root", "ra")
+            .join(rb.withColumnRenamed("c", "cb"), "cb", "left")
+            .select(
+                F.coalesce("ra", "ca").alias("ca"),
+                F.coalesce("root", "cb").alias("cb"),
+                "w",
+                "ka",
+                "kb",
+            )
+            .filter(F.col("ca") != F.col("cb"))
         )
-        prev_comp.unpersist()
+        new_live = (
+            relabeled.select(
+                F.least("ca", "cb").alias("ca"),
+                F.greatest("ca", "cb").alias("cb"),
+                F.struct("w", "ka", "kb").alias("k"),
+            )
+            .groupBy("ca", "cb")
+            .agg(F.min("k").alias("k"))
+            .select(
+                "ca", "cb",
+                F.col("k.w").alias("w"),
+                F.col("k.ka").alias("ka"),
+                F.col("k.kb").alias("kb"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        live_rows = new_live.count()
+        live.unpersist()
+        live = new_live
+        log.info(
+            "msf round=%d n_active=%d live_rows=%d bids=%.1fs "
+            "relabel+contract=%.1fs",
+            it, n_active, live_rows, _t1 - _t0, time.time() - _t1,
+        )
     else:
         raise RuntimeError(f"msf did not converge in {max_iter} rounds")
 
@@ -288,10 +424,18 @@ def _msf_loop(spark, edges, nodes, max_iter, num_partitions, driver_flatten_max)
         acc = forest_parts[0]
         for p in forest_parts[1:]:
             acc = acc.union(p)
-        out = acc.select(
-            F.col("a").alias("src_id"), F.col("b").alias("dst_id"), "w"
-        ).select("src_id", "dst_id", F.col("w").alias("weight"))
+        # decode the ≤|V|−1 forest rows back to string endpoints once —
+        # the only place strings appear after the build
+        dec_a = verts.select(F.col("ord").alias("ka"), F.col("id").alias("src_id"))
+        dec_b = verts.select(F.col("ord").alias("kb"), F.col("id").alias("dst_id"))
+        out = (
+            acc.join(dec_a.hint("shuffle_hash"), "ka")
+            .join(dec_b.hint("shuffle_hash"), "kb")
+            .select("src_id", "dst_id", F.col("w").alias("weight"))
+        )
         out = out.localCheckpoint(eager=True)
+    for c in cands:
+        c.unpersist()
     verts.unpersist()
-    pairs.unpersist()
+    live.unpersist()
     return out

@@ -111,7 +111,15 @@ def random_walks(
 
     if starts is None:
         starts = e.select(F.col("src_id").alias("id")).distinct()
-    frontier = (
+    # r6 rework (guide §2.3 "shuffle keys, not payloads"): the r5 loop
+    # carried the GROWING ``seq`` array through every per-step exchange
+    # and re-joined the frontier against the picks each round. But the
+    # frontier only needs (walk_id, cur): the next frontier IS the pick
+    # table, so the per-step join disappears, the per-step shuffled
+    # payload is O(1) per live walk, and the sequences assemble ONCE at
+    # the end from the per-step pick tables (sort by step inside one
+    # groupBy). Identical picks → bit-identical corpus.
+    starts0 = (
         starts.select("id")
         .distinct()
         .select(
@@ -123,42 +131,56 @@ def random_walks(
         .select(
             F.concat_ws("#", "id", "k").alias("walk_id"),
             F.col("id").alias("start_id"),
-            F.col("id").alias("cur"),
-            F.array("id").alias("seq"),
         )
         .localCheckpoint(eager=True)
     )
+    frontier = starts0.select(
+        "walk_id", F.col("start_id").alias("cur")
+    )
 
-    finished: list[DataFrame] = []
+    picks: list[DataFrame] = []
     for t in range(1, walk_length + 1):
         cand = frontier.join(
             e.withColumnRenamed("src_id", "cur").hint("shuffle_hash"), "cur"
         )
-        pick = cand.groupBy("walk_id").agg(
-            F.min(
-                F.struct(
-                    _walk_key(seed, t, weighted).alias("k"),
-                    F.col("dst_id").alias("nxt"),
-                )
-            ).alias("m")
+        pick = (
+            cand.groupBy("walk_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        _walk_key(seed, t, weighted).alias("k"),
+                        F.col("dst_id").alias("nxt"),
+                    )
+                ).alias("m")
+            )
+            .select("walk_id", F.lit(t).alias("t"), F.col("m.nxt").alias("nxt"))
+            .localCheckpoint(eager=False)
         )
-        j = frontier.join(pick, "walk_id", "left").localCheckpoint(eager=True)
-        finished.append(
-            j.filter(F.col("m").isNull()).select("walk_id", "start_id", "seq")
+        if pick.count() == 0:
+            break
+        picks.append(pick)
+        frontier = pick.select("walk_id", F.col("nxt").alias("cur"))
+
+    if picks:
+        steps = reduce(DataFrame.unionByName, picks)
+        seqs = steps.groupBy("walk_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "nxt"))),
+                lambda s: s["nxt"],
+            ).alias("tail")
         )
-        frontier = j.filter(F.col("m").isNotNull()).select(
+        out = starts0.join(seqs.hint("shuffle_hash"), "walk_id", "left").select(
             "walk_id",
             "start_id",
-            F.col("m.nxt").alias("cur"),
-            F.concat("seq", F.array("m.nxt")).alias("seq"),
+            F.concat(
+                F.array("start_id"),
+                F.coalesce("tail", F.array().cast("array<string>")),
+            ).alias("seq"),
         )
-        if frontier.isEmpty():
-            break
-
-    out = reduce(
-        DataFrame.unionByName,
-        finished + [frontier.select("walk_id", "start_id", "seq")],
-    )
+    else:
+        out = starts0.select(
+            "walk_id", "start_id", F.array("start_id").alias("seq")
+        )
     e.unpersist()
     return out.select(
         "walk_id", "start_id", "seq", F.size("seq").alias("length")
@@ -221,16 +243,31 @@ def node2vec_walks(
         )
     e = e.repartition("src_id").persist(StorageLevel.MEMORY_AND_DISK)
     e.count()
-    # the α=1 membership probe: is (prev, dst) an edge?
-    nbr = e.select(
-        F.col("src_id").alias("prev"),
-        F.col("dst_id").alias("dst_id"),
-        F.lit(True).alias("is_nbr"),
+    # the α=1 membership probe: is (prev, dst) an edge? Persisted ONCE
+    # pre-partitioned on the probe key — the r5 plan derived this from
+    # `e` (partitioned by src_id) and re-exchanged the |E|-row pair set
+    # on (prev, dst_id) EVERY step; now each step exchanges only the
+    # candidate rows to the existing layout (r6, guide §2.4 / VERDICT
+    # r5 finding #3).
+    nbr = (
+        e.select(
+            F.col("src_id").alias("prev"),
+            F.col("dst_id").alias("dst_id"),
+            F.lit(True).alias("is_nbr"),
+        )
+        .repartition("prev", "dst_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    nbr.count()
 
     if starts is None:
         starts = e.select(F.col("src_id").alias("id")).distinct()
-    frontier = (
+    # r6 rework — same shape as :func:`random_walks`: the frontier
+    # carries only (walk_id, prev, cur), the next frontier is derived
+    # from the pick table (prev = the step's shared ``cur``, carried
+    # through the argmin aggregate), and sequences assemble once at the
+    # end. Identical picks → bit-identical corpus.
+    starts0 = (
         starts.select("id")
         .distinct()
         .select(
@@ -242,18 +279,30 @@ def node2vec_walks(
         .select(
             F.concat_ws("#", "id", "k").alias("walk_id"),
             F.col("id").alias("start_id"),
-            F.lit(None).cast("string").alias("prev"),
-            F.col("id").alias("cur"),
-            F.array("id").alias("seq"),
         )
         .localCheckpoint(eager=True)
     )
+    frontier = starts0.select(
+        "walk_id",
+        F.lit(None).cast("string").alias("prev"),
+        F.col("start_id").alias("cur"),
+    )
 
-    finished: list[DataFrame] = []
+    picks: list[DataFrame] = []
     for t in range(1, walk_length + 1):
         cand = frontier.join(
             e.withColumnRenamed("src_id", "cur").hint("shuffle_hash"), "cur"
-        ).join(nbr, ["prev", "dst_id"], "left")
+        )
+        if t == 1:
+            # every frontier row starts with prev = NULL (by
+            # construction above), so the probe cannot match and alpha
+            # falls through to its prev-is-NULL arm — skip the probe
+            # exchange entirely for the first step (r6)
+            cand = cand.withColumn("is_nbr", F.lit(None).cast("boolean"))
+        else:
+            cand = cand.join(
+                nbr.hint("shuffle_hash"), ["prev", "dst_id"], "left"
+            )
         alpha = (
             F.when(F.col("prev").isNull(), F.lit(1.0))
             .when(F.col("dst_id") == F.col("prev"), F.lit(1.0) / F.lit(p))
@@ -276,30 +325,55 @@ def node2vec_walks(
             F.conv(F.substring(h, 1, 15), 16, 10).cast("double") + 1.0
         ) / float(1 << 60)
         key = -F.log(u) / (F.col("weight") * alpha)
-        pick = cand.groupBy("walk_id").agg(
-            F.min(
-                F.struct(key.alias("k"), F.col("dst_id").alias("nxt"))
-            ).alias("m")
+        pick = (
+            cand.groupBy("walk_id")
+            .agg(
+                F.min(
+                    F.struct(key.alias("k"), F.col("dst_id").alias("nxt"))
+                ).alias("m"),
+                # all cand rows of a walk share its current vertex —
+                # min() is just a deterministic way to carry it
+                F.min("cur").alias("cur"),
+            )
+            .select(
+                "walk_id",
+                F.lit(t).alias("t"),
+                F.col("cur").alias("prev_next"),
+                F.col("m.nxt").alias("nxt"),
+            )
+            .localCheckpoint(eager=False)
         )
-        j = frontier.join(pick, "walk_id", "left").localCheckpoint(eager=True)
-        finished.append(
-            j.filter(F.col("m").isNull()).select("walk_id", "start_id", "seq")
+        if pick.count() == 0:
+            break
+        picks.append(pick)
+        frontier = pick.select(
+            "walk_id",
+            F.col("prev_next").alias("prev"),
+            F.col("nxt").alias("cur"),
         )
-        frontier = j.filter(F.col("m").isNotNull()).select(
+
+    if picks:
+        steps = reduce(DataFrame.unionByName, picks)
+        seqs = steps.groupBy("walk_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "nxt"))),
+                lambda s: s["nxt"],
+            ).alias("tail")
+        )
+        out = starts0.join(seqs.hint("shuffle_hash"), "walk_id", "left").select(
             "walk_id",
             "start_id",
-            F.col("cur").alias("prev"),
-            F.col("m.nxt").alias("cur"),
-            F.concat("seq", F.array("m.nxt")).alias("seq"),
+            F.concat(
+                F.array("start_id"),
+                F.coalesce("tail", F.array().cast("array<string>")),
+            ).alias("seq"),
         )
-        if frontier.isEmpty():
-            break
-
-    out = reduce(
-        DataFrame.unionByName,
-        finished + [frontier.select("walk_id", "start_id", "seq")],
-    )
+    else:
+        out = starts0.select(
+            "walk_id", "start_id", F.array("start_id").alias("seq")
+        )
     e.unpersist()
+    nbr.unpersist()
     return out.select(
         "walk_id", "start_id", "seq", F.size("seq").alias("length")
     )

@@ -46,20 +46,42 @@ def _ngram_rows(
     docs: DataFrame, n: int, id_col: str, text_col: str
 ) -> DataFrame:
     """(_id, gram) with multiplicity: space-joined runs of ``n``
-    consecutive ``[a-z0-9]+`` tokens of the lowercased text."""
-    toks = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+    consecutive ``[a-z0-9]+`` tokens of the lowercased text.
+
+    r6: grams build as zip_with concat chains — one string concat per
+    position per level instead of the old per-position O(n) slice +
+    array_join (higher-order functions evaluate interpreted, so the
+    per-element constant factor dominates). zip_with pads the shorter
+    shifted side with NULL and concat propagates it; the valid prefix
+    is sliced off. Each intermediate is a named column so nothing
+    re-evaluates per element (CollapseProject keeps multiply-referenced
+    non-cheap producers staged)."""
+    staged = docs.select(
+        F.col(id_col).alias("_id"),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+        ).alias("_toks"),
     )
+    prev = "_toks"
+    for k in range(1, n):
+        shifted = F.slice(
+            F.col("_toks"),
+            k + 1,
+            F.greatest(F.size("_toks") - k, F.lit(0)),
+        )
+        staged = staged.select(
+            "*",
+            F.zip_with(
+                F.col(prev), shifted,
+                lambda g, x: F.concat(g, F.lit(" "), x),
+            ).alias(f"_raw{k + 1}"),
+        )
+        prev = f"_raw{k + 1}"
     grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
+        F.size("_toks") >= n,
+        F.slice(F.col(prev), 1, F.size("_toks") - n + 1),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
-        F.col(id_col).alias("_id"), F.explode(grams).alias("gram")
-    )
+    return staged.select("_id", F.explode(grams).alias("gram"))
 
 
 def _bucket(col, buckets: int):
@@ -87,6 +109,26 @@ def hashed_ngram_counts(
     )
 
 
+def _lm_from_bucket_counts(
+    spark, counts: DataFrame, buckets: int, alpha: float
+) -> DataFrame:
+    """(bucket, c) occurrence counts → complete (bucket, logp) table
+    of exactly ``buckets`` rows; logp = ln((c_b + α) / (T + α·B))."""
+    full = spark.range(buckets).select(F.col("id").alias("bucket"))
+    totals = counts.agg(F.sum("c").alias("t"))
+    return (
+        full.join(counts, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha))
+                / (F.coalesce(F.col("t"), F.lit(0)) + F.lit(alpha * buckets))
+            ).alias("logp"),
+        )
+    )
+
+
 def train_hashed_lm(
     docs: DataFrame,
     n: int = 2,
@@ -105,20 +147,7 @@ def train_hashed_lm(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    spark = docs.sparkSession
-    full = spark.range(buckets).select(F.col("id").alias("bucket"))
-    totals = counts.agg(F.sum("c").alias("t"))
-    return (
-        full.join(counts, "bucket", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "bucket",
-            F.log(
-                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha))
-                / (F.coalesce(F.col("t"), F.lit(0)) + F.lit(alpha * buckets))
-            ).alias("logp"),
-        )
-    )
+    return _lm_from_bucket_counts(docs.sparkSession, counts, buckets, alpha)
 
 
 def dsir_scores(
@@ -138,6 +167,10 @@ def dsir_scores(
     tgt = train_hashed_lm(
         target_docs, n, buckets, alpha, id_col, text_col
     ).withColumnRenamed("logp", "lp_t")
+    # NOTE (r6): deriving the raw LM from a persisted copy of `cnts`
+    # was tried and measured SLOWER at the bench scale — caching the
+    # ~|docs|·|grams/doc| (doc, bucket) table costs more than the slim
+    # column-pruned second explode it saves. Kept as two passes.
     raw = train_hashed_lm(
         docs, n, buckets, alpha, id_col, text_col
     ).withColumnRenamed("logp", "lp_r")

@@ -42,21 +42,35 @@ repetition (``gopher_repetition``):
 
 ``keep`` applies the published thresholds (parameterized).
 
-Scale shape: quality is pure codegen column expressions (split +
-higher-order filter/aggregate — zero shuffles, zero Python).
-Repetition builds every n-gram size in ONE pass — the word array is
-transformed per n and the structs concatenated, so the text is
-exploded once — then ONE groupBy on ``(doc_id, n, gram)`` with
-map-side partial counts (repeats collapse before the shuffle; that is
-the hot path at 100 TB where repetition is precisely what's common),
-and a per-doc rollup that Catalyst keeps in the same hash
-partitioning chain. No UDFs anywhere.
+Scale shape (r6 rework, optimization guide §4.2): the whole pass is
+per-document — ZERO shuffles are fundamentally required — so both
+gates run as ONE Arrow-batched ``mapInPandas`` over (id, text), with
+the n-gram counting in CPython ``Counter``s instead of Catalyst
+higher-order functions. Measured motivation: the r5 plan exploded
+~9 n-gram sizes × |words| rows per doc and shuffled them through a
+(doc, n, gram) groupBy (309 MB, 17-30 s at the sf0.1 bench); an
+intermediate all-codegen rewrite (array_sort + run-length folds,
+exchange-free) still spent its time in interpreted HOF evaluation
+(~5.2 s/20k docs on 8 cores). Per guide §4.2 the batch-Python tier
+wins when JVM per-row expression work is the bottleneck; only
+(id, text) crosses the Arrow boundary, and heavy init is none.
+
+Float parity contract (the DuckDB oracle hashes these doubles): every
+fraction is ``round(int_numerator / int_denominator, 6)`` — the
+division is one IEEE-754 double op (identical in Java/Python/DuckDB)
+and the rounding replicates Spark's ``F.round`` (BigDecimal HALF_UP
+over the shortest round-trip decimal representation) via
+``Decimal(repr(x)).quantize(..., ROUND_HALF_UP)``.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
-from pyspark.sql import functions as F
+import re
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+from typing import Iterator
+
+from pyspark.sql import DataFrame
 
 STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
@@ -81,26 +95,138 @@ REPETITION_DEFAULTS = dict(
     },
 )
 
+# Java \s is ASCII-only — match it exactly (Python \s is unicode-aware
+# by default); Spark's trim()/F.trim strips 0x20 spaces only
+_WS = re.compile(r"\s+", re.ASCII)
+_ALPHA = re.compile(r"[A-Za-z]", re.ASCII)
+_SIX = Decimal("0.000001")
 
-def _words(text_col: str) -> Column:
-    """Whitespace tokens of the trimmed text (no empty tokens)."""
-    return F.filter(
-        F.split(F.trim(F.col(text_col)), "\\s+"), lambda w: w != ""
+
+def _round6(x: float) -> float:
+    """Spark F.round(col, 6) parity: HALF_UP on the shortest
+    round-trip decimal repr (Java BigDecimal.valueOf semantics)."""
+    return float(Decimal(repr(x)).quantize(_SIX, rounding=ROUND_HALF_UP))
+
+
+def _words(text: str) -> list[str]:
+    return [w for w in _WS.split(text.strip(" ")) if w]
+
+
+def _lines(text: str) -> list[str]:
+    return [s for s in (ln.strip(" ") for ln in text.split("\n")) if s]
+
+
+def _quality_stats(text: str) -> tuple:
+    ws = _words(text)
+    lines = _lines(text)
+    nw, nl = len(ws), len(lines)
+    word_chars = sum(len(w) for w in ws)
+    mean_wl = _round6(word_chars / nw) if nw else 0.0
+    n_sym = (
+        text.count("#") + text.count("...") + text.count("…")
+    )
+    symbol_ratio = _round6(n_sym / nw) if nw else 0.0
+    bullets = sum(ln.startswith(("-", "*", "•")) for ln in lines)
+    ell_lines = sum(ln.endswith(("...", "…")) for ln in lines)
+    bullet_frac = _round6(bullets / nl) if nl else 0.0
+    ellipsis_frac = _round6(ell_lines / nl) if nl else 0.0
+    alpha = sum(1 for w in ws if _ALPHA.search(w))
+    alpha_frac = _round6(alpha / nw) if nw else 0.0
+    lw = set(w.lower() for w in ws)
+    stop_hits = sum(s in lw for s in STOPWORDS)
+    return (
+        nw, mean_wl, symbol_ratio, bullet_frac, ellipsis_frac,
+        alpha_frac, stop_hits,
     )
 
 
-def _lines(text_col: str) -> Column:
-    """Trimmed non-blank lines.
-
-    The trim MUST be a one-arg lambda: ``F.trim`` itself has an
-    optional second parameter (the trim-character set), so passing it
-    to ``F.transform`` binds the (element, index) form and the array
-    index becomes the set of characters to strip.
-    """
-    return F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), lambda ln: F.trim(ln)),
-        lambda ln: ln != "",
+def _quality_keep(row: tuple, t: dict) -> bool:
+    nw, mwl, sym, bul, ell, alpha, stop = row
+    return (
+        t["min_words"] <= nw <= t["max_words"]
+        and t["min_mean_word_len"] <= mwl <= t["max_mean_word_len"]
+        and sym <= t["max_symbol_ratio"]
+        and bul <= t["max_bullet_frac"]
+        and ell <= t["max_ellipsis_frac"]
+        and alpha >= t["min_alpha_frac"]
+        and stop >= t["min_stopword_hits"]
     )
+
+
+def _repetition_stats(text: str, top_ns: tuple, dup_ns: tuple) -> list:
+    ws = _words(text)
+    lines = _lines(text)
+    nl = len(lines)
+    lc = sum(len(ln) for ln in lines)
+    c = Counter(lines)
+    dup_line_frac = _round6((nl - len(c)) / nl) if nl else 0.0
+    dup_chars = sum((k - 1) * len(ln) for ln, k in c.items() if k > 1)
+    dup_line_char_frac = _round6(dup_chars / lc) if lc else 0.0
+    # text_chars basis = whitespace-normalized join length (see module
+    # doc); computed arithmetically to skip building the joined string
+    tc = sum(len(w) for w in ws) + max(len(ws) - 1, 0) if ws else 0
+    out = [dup_line_frac, dup_line_char_frac]
+    nw = len(ws)
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    grams_by_n: dict[int, Counter] = {}
+    for n in all_ns:
+        grams_by_n[n] = Counter(
+            " ".join(ws[i : i + n]) for i in range(nw - n + 1)
+        )
+    for n in top_ns:
+        grams = grams_by_n[n]
+        if grams and tc:
+            mx = max(grams.values())
+            g = min(g for g, k in grams.items() if k == mx)
+            out.append(_round6(mx * len(g) / tc))
+        else:
+            out.append(0.0)
+    for n in dup_ns:
+        if tc:
+            d = sum(
+                (k - 1) * len(g)
+                for g, k in grams_by_n[n].items()
+                if k > 1
+            )
+            out.append(_round6(d / tc))
+        else:
+            out.append(0.0)
+    return out
+
+
+def _rep_keep(vals: list, top_ns: tuple, dup_ns: tuple, t: dict) -> bool:
+    i = 0
+    ok = (
+        vals[i] <= t["max_dup_line_frac"]
+        and vals[i + 1] <= t["max_dup_line_char_frac"]
+    )
+    i = 2
+    for n in top_ns:
+        ok = ok and vals[i] <= t["max_top_ngram_char_frac"][n]
+        i += 1
+    for n in dup_ns:
+        ok = ok and vals[i] <= t["max_dup_ngram_char_frac"][n]
+        i += 1
+    return ok
+
+
+def _quality_schema(id_decl: str) -> str:
+    return (
+        f"{id_decl}, n_words bigint, mean_word_len double, "
+        "symbol_ratio double, bullet_frac double, ellipsis_frac double, "
+        "alpha_frac double, stopword_hits bigint, keep_quality boolean"
+    )
+
+
+def _rep_schema(id_decl: str, top_ns: tuple, dup_ns: tuple) -> str:
+    cols = ["dup_line_frac double", "dup_line_char_frac double"]
+    cols += [f"top{n}gram_char_frac double" for n in top_ns]
+    cols += [f"dup{n}gram_char_frac double" for n in dup_ns]
+    return f"{id_decl}, " + ", ".join(cols) + ", keep_repetition boolean"
+
+
+def _id_decl(docs: DataFrame, id_col: str) -> str:
+    return f"`{id_col}` {docs.schema[id_col].dataType.simpleString()}"
 
 
 def gopher_quality(
@@ -111,86 +237,29 @@ def gopher_quality(
 ) -> DataFrame:
     """Scalar quality gates → (id, n_words, mean_word_len,
     symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac,
-    stopword_hits, keep_quality). Pure codegen, no shuffle."""
+    stopword_hits, keep_quality). One Arrow-batched scan, no shuffle."""
     t = {**QUALITY_DEFAULTS, **thresholds}
-    w = _words(text_col)
-    lines = _lines(text_col)
-    n_words = F.size(w)
-    n_lines = F.size(lines)
-    word_chars = F.aggregate(
-        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    )
-    mean_wl = F.when(n_words > 0, F.round(word_chars / n_words, 6)).otherwise(
-        F.lit(0.0)
-    )
-    n_hash = F.length(F.col(text_col)) - F.length(
-        F.replace(F.col(text_col), F.lit("#"), F.lit(""))
-    )
-    # ellipsis occurrences: count non-overlapping '...' plus '…'
-    n_ell = (
-        F.floor(
-            (
-                F.length(F.col(text_col))
-                - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                q = _quality_stats(text or "")
+                rows.append((did, *q, _quality_keep(q, t)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_words", "mean_word_len", "symbol_ratio",
+                    "bullet_frac", "ellipsis_frac", "alpha_frac",
+                    "stopword_hits", "keep_quality",
+                ],
             )
-            / 3
-        )
-        + F.length(F.col(text_col))
-        - F.length(F.replace(F.col(text_col), F.lit("…"), F.lit("")))
+
+    return docs.select(id_col, text_col).mapInPandas(
+        fn, _quality_schema(_id_decl(docs, id_col))
     )
-    symbol_ratio = F.when(
-        n_words > 0, F.round((n_hash + n_ell) / n_words, 6)
-    ).otherwise(F.lit(0.0))
-    bullets = F.size(
-        F.filter(
-            lines,
-            lambda ln: ln.startswith("-")
-            | ln.startswith("*")
-            | ln.startswith("•"),
-        )
-    )
-    ellipsis_lines = F.size(
-        F.filter(lines, lambda ln: ln.endswith("...") | ln.endswith("…"))
-    )
-    bullet_frac = F.when(
-        n_lines > 0, F.round(bullets / n_lines, 6)
-    ).otherwise(F.lit(0.0))
-    ellipsis_frac = F.when(
-        n_lines > 0, F.round(ellipsis_lines / n_lines, 6)
-    ).otherwise(F.lit(0.0))
-    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
-    alpha_frac = F.when(
-        n_words > 0, F.round(alpha_words / n_words, 6)
-    ).otherwise(F.lit(0.0))
-    lw = F.transform(w, F.lower)
-    stop_hits = F.size(
-        F.filter(
-            F.array(*[F.lit(s) for s in STOPWORDS]),
-            lambda s: F.array_contains(lw, s),
-        )
-    )
-    out = docs.select(
-        F.col(id_col),
-        n_words.cast("long").alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        bullet_frac.alias("bullet_frac"),
-        ellipsis_frac.alias("ellipsis_frac"),
-        alpha_frac.alias("alpha_frac"),
-        stop_hits.cast("long").alias("stopword_hits"),
-    )
-    keep = (
-        (F.col("n_words") >= t["min_words"])
-        & (F.col("n_words") <= t["max_words"])
-        & (F.col("mean_word_len") >= t["min_mean_word_len"])
-        & (F.col("mean_word_len") <= t["max_mean_word_len"])
-        & (F.col("symbol_ratio") <= t["max_symbol_ratio"])
-        & (F.col("bullet_frac") <= t["max_bullet_frac"])
-        & (F.col("ellipsis_frac") <= t["max_ellipsis_frac"])
-        & (F.col("alpha_frac") >= t["min_alpha_frac"])
-        & (F.col("stopword_hits") >= t["min_stopword_hits"])
-    )
-    return out.withColumn("keep_quality", keep)
 
 
 def gopher_repetition(
@@ -203,160 +272,75 @@ def gopher_repetition(
 ) -> DataFrame:
     """Repetition gates → (id, dup_line_frac, dup_line_char_frac,
     top{n}gram_char_frac…, dup{n}gram_char_frac…, keep_repetition).
-
-    One explode of all n-gram sizes + one (doc, n, gram) groupBy with
-    map-side combine; line stats ride along codegen-side.
-    """
+    One Arrow-batched scan, no shuffle (see module doc)."""
     t = {**REPETITION_DEFAULTS, **thresholds}
-    lines = _lines(text_col)
-    n_lines = F.size(lines)
-    line_chars = F.aggregate(
-        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    )
-    # per-doc line stats without a shuffle: aggregate over the
-    # distinct lines, summing (count-1)*len via two passes of the
-    # array — O(L·distinct) comparisons per doc, fine at ~10² lines;
-    # the n-gram path below is the one that must (and does) shuffle.
-    dlines = F.array_distinct(lines)
-    dup_line_frac = F.when(
-        n_lines > 0,
-        F.round((n_lines - F.size(dlines)) / n_lines, 6),
-    ).otherwise(F.lit(0.0))
-    dup_line_chars = F.aggregate(
-        dlines,
-        F.lit(0).cast("long"),
-        lambda acc, d: acc
-        + (
-            F.size(F.filter(lines, lambda ln: ln == d)) - F.lit(1)
-        )
-        * F.length(d),
-    )
-    dup_line_char_frac = F.when(
-        line_chars > 0, F.round(dup_line_chars / line_chars, 6)
-    ).otherwise(F.lit(0.0))
-
-    base = docs.select(
-        F.col(id_col).alias("_id"),
-        _words(text_col).alias("w"),
-        dup_line_frac.alias("dup_line_frac"),
-        dup_line_char_frac.alias("dup_line_char_frac"),
-    )
-    # total chars basis for the n-gram fractions: the words joined by
-    # single spaces (whitespace-normalized text length) — identical in
-    # the SQL oracle
-    base = base.withColumn(
-        "text_chars", F.length(F.array_join("w", " ")).cast("long")
+    top_ns = tuple(top_ns)
+    dup_ns = tuple(dup_ns)
+    rep_cols = (
+        ["dup_line_frac", "dup_line_char_frac"]
+        + [f"top{n}gram_char_frac" for n in top_ns]
+        + [f"dup{n}gram_char_frac" for n in dup_ns]
     )
 
-    all_ns = sorted(set(top_ns) | set(dup_ns))
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
 
-    def _gram_fn(n: int):
-        # one-arg lambda via a factory: a `lambda i, n=n` default-arg
-        # closure has ARITY 2, which F.transform silently binds as its
-        # (element, index) form — n would become the array index
-        return lambda i: F.struct(
-            F.lit(n).alias("n"),
-            F.array_join(F.slice("w", i + 1, n), " ").alias("gram"),
-        )
-
-    gram_arrays = [
-        F.when(
-            F.size("w") >= n,
-            F.transform(F.sequence(F.lit(0), F.size("w") - n), _gram_fn(n)),
-        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
-        for n in all_ns
-    ]
-    grams = base.select(
-        "_id", F.explode(F.concat(*gram_arrays)).alias("g")
-    ).select("_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-    counts = grams.groupBy("_id", "n", "gram").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    per_doc = counts.groupBy("_id").agg(
-        # top gram per n: max count, lexicographically-smallest gram
-        # on ties — min(struct(-c, gram)) orders by count desc then
-        # gram asc in ONE aggregate, no second pass over the counts
-        *[
-            F.min(
-                F.when(
-                    F.col("n") == n,
-                    F.struct(
-                        (-F.col("c")).alias("negc"),
-                        F.col("gram").alias("gram"),
-                    ),
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                vals = _repetition_stats(text or "", top_ns, dup_ns)
+                rows.append(
+                    (did, *vals, _rep_keep(vals, top_ns, dup_ns, t))
                 )
-            ).alias(f"_pick{n}")
-            for n in top_ns
-        ],
-        *[
-            F.sum(
-                F.when(
-                    (F.col("n") == n) & (F.col("c") > 1),
-                    (F.col("c") - 1) * F.length("gram"),
-                ).otherwise(F.lit(0))
-            ).alias(f"_dup{n}_chars")
-            for n in dup_ns
-        ],
+            yield pd.DataFrame(
+                rows, columns=[id_col, *rep_cols, "keep_repetition"]
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        fn, _rep_schema(_id_decl(docs, id_col), top_ns, dup_ns)
     )
-    out = base.join(per_doc, "_id", "left")
-    cols = [
-        F.col("_id"),
-        F.col("dup_line_frac"),
-        F.col("dup_line_char_frac"),
-    ]
-    for n in top_ns:
-        cols.append(
-            F.when(
-                F.col("text_chars") > 0,
-                F.round(
-                    F.coalesce(
-                        (-F.col(f"_pick{n}.negc"))
-                        * F.length(F.col(f"_pick{n}.gram")),
-                        F.lit(0),
-                    )
-                    / F.col("text_chars"),
-                    6,
-                ),
-            )
-            .otherwise(F.lit(0.0))
-            .alias(f"top{n}gram_char_frac")
-        )
-    for n in dup_ns:
-        cols.append(
-            F.when(
-                F.col("text_chars") > 0,
-                F.round(
-                    F.coalesce(F.col(f"_dup{n}_chars"), F.lit(0))
-                    / F.col("text_chars"),
-                    6,
-                ),
-            )
-            .otherwise(F.lit(0.0))
-            .alias(f"dup{n}gram_char_frac")
-        )
-    out = out.select(*cols).withColumnRenamed("_id", id_col)
-    keep: Column = (
-        F.col("dup_line_frac") <= t["max_dup_line_frac"]
-    ) & (F.col("dup_line_char_frac") <= t["max_dup_line_char_frac"])
-    for n in top_ns:
-        keep = keep & (
-            F.col(f"top{n}gram_char_frac")
-            <= t["max_top_ngram_char_frac"][n]
-        )
-    for n in dup_ns:
-        keep = keep & (
-            F.col(f"dup{n}gram_char_frac")
-            <= t["max_dup_ngram_char_frac"][n]
-        )
-    return out.withColumn("keep_repetition", keep)
 
 
 def gopher_filter(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Combined Gopher gate → quality ⋈ repetition + ``keep``."""
-    q = gopher_quality(docs, id_col, text_col)
-    r = gopher_repetition(docs, id_col, text_col)
-    return q.join(r, id_col).withColumn(
-        "keep", F.col("keep_quality") & F.col("keep_repetition")
+    """Combined Gopher gate — quality + repetition + ``keep`` in ONE
+    Arrow-batched pass (the r5 plan computed two full scans and joined
+    them back on the id; per-doc stats need neither the join nor its
+    exchanges — guide §2.4)."""
+    tq = dict(QUALITY_DEFAULTS)
+    tr = dict(REPETITION_DEFAULTS)
+    top_ns = (2, 3, 4)
+    dup_ns = (5, 6, 7, 8, 9, 10)
+    rep_cols = (
+        ["dup_line_frac", "dup_line_char_frac"]
+        + [f"top{n}gram_char_frac" for n in top_ns]
+        + [f"dup{n}gram_char_frac" for n in dup_ns]
     )
+    q_schema = _quality_schema(_id_decl(docs, id_col))
+    r_cols = _rep_schema("x int", top_ns, dup_ns).split(", ", 1)[1]
+    schema = f"{q_schema}, {r_cols}, keep boolean"
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                text = text or ""
+                q = _quality_stats(text)
+                kq = _quality_keep(q, tq)
+                vals = _repetition_stats(text, top_ns, dup_ns)
+                kr = _rep_keep(vals, top_ns, dup_ns, tr)
+                rows.append((did, *q, kq, *vals, kr, kq and kr))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_words", "mean_word_len", "symbol_ratio",
+                    "bullet_frac", "ellipsis_frac", "alpha_frac",
+                    "stopword_hits", "keep_quality", *rep_cols,
+                    "keep_repetition", "keep",
+                ],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(fn, schema)

@@ -145,6 +145,22 @@ def test_msf_distributed_flatten_tier_matches_driver_tier(spark):
     assert _got(spark, wl, driver_flatten_max=0) == _got(spark, wl)
 
 
+def test_msf_driver_kruskal_tier_matches_distributed(spark):
+    # r6 finish tier: driver_kruskal_max=0 forces the pure contraction
+    # supersteps to run to quiescence; the default collects the small
+    # contracted remainder and finishes with Kruskal — the strict
+    # (w, ka, kb) total order makes the MSF unique, so the tiers must
+    # agree edge-for-edge (and with both flatten tiers)
+    rng = random.Random(17)
+    wl = [(rng.randrange(30), rng.randrange(30), round(rng.uniform(0, 3), 3))
+          for _ in range(90)]
+    full_superstep = _got(spark, wl, driver_kruskal_max=0)
+    assert full_superstep == _got(spark, wl)
+    assert full_superstep == _got(
+        spark, wl, driver_kruskal_max=0, driver_flatten_max=0
+    )
+
+
 def test_msf_empty_and_edgeless(spark):
     assert _got(spark, []) == set()
     nodes = None
