@@ -183,6 +183,15 @@ def _build_adjacency(
     hub_top_k: int,
     encode: str = "hash",
 ) -> Adjacency:
+    # staging persist (r6, guide §1.2): the build reads the input edge
+    # PLAN at least twice — once for the collapse chain, once for the
+    # vertex set when ``nodes`` is None. When ``edges`` is an expensive
+    # upstream plan (e.g. the co-supplier lineitem self-join behind the
+    # driver-contract graph queries) that doubled its cost. Cache a
+    # derived copy (select("*") so an already-persisted caller frame
+    # keeps its own storage level), release before returning — every
+    # Adjacency output is materialized by then.
+    edges = edges.select("*").persist(StorageLevel.MEMORY_AND_DISK)
     # vertex encoding FIRST (deterministic, so a resumed job re-derives
     # the identical encoding), then one shuffle builds the rest:
     # hash(src_id) partitioning satisfies the clustering requirement of
@@ -272,7 +281,11 @@ def _build_adjacency(
         if n != vstats["nd"]:
             for df in (e, verts, collapsed):
                 df.unpersist()
-            return _build_adjacency(edges, nodes, num_partitions, hub_top_k, "dense")
+            out = _build_adjacency(
+                edges, nodes, num_partitions, hub_top_k, "dense"
+            )
+            edges.unpersist()
+            return out
     else:
         n = verts.count()
 
@@ -304,6 +317,7 @@ def _build_adjacency(
         edges_hub.count()
         edges_tail.count()
     collapsed.unpersist()
+    edges.unpersist()
     return Adjacency(
         edges=e,
         vertices=verts,

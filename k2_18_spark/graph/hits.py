@@ -101,11 +101,25 @@ def _hits_loop(
     if n == 0:
         return spark.createDataFrame([], out_schema)
 
+    # r6 (guide §2.3 narrower types): supersteps shuffled STRING vertex
+    # keys; encode to xxhash64 longs (8-byte keys, cheap hash/compare),
+    # decode the |V|-row result once at the end. One |V| aggregate
+    # verifies injectivity; the astronomically-rare collision falls
+    # back to the raw string keys (identical semantics either way —
+    # the sums don't depend on the key representation).
+    vstats = verts.select(F.xxhash64("id").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("h").alias("nd")
+    ).collect()[0]
+    encode = vstats["n"] == vstats["nd"]
+
+    def _enc(col):
+        return F.xxhash64(col) if encode else col
+
     w = F.col("weight") if "weight" in edges.columns else F.lit(1.0)
     e = (
         edges.select(
-            F.col("src_id").alias("src"),
-            F.col("dst_id").alias("dst"),
+            _enc(F.col("src_id")).alias("src"),
+            _enc(F.col("dst_id")).alias("dst"),
             w.cast("double").alias("w"),
         )
         .groupBy("src", "dst")
@@ -135,8 +149,26 @@ def _hits_loop(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     e_by_dst.count()
 
+    def _emit(state: DataFrame) -> DataFrame:
+        out = _finalize(state)
+        if encode:
+            dec = verts.select(
+                F.xxhash64("id").alias("id"), F.col("id").alias("orig_id")
+            )
+            out = out.join(dec.hint("shuffle_hash"), "id").select(
+                F.col("orig_id").alias("id"), "hub", "authority"
+            )
+        out = out.localCheckpoint(eager=True)
+        verts.unpersist()
+        e.unpersist()
+        e_by_dst.unpersist()
+        return out
+
     store = (
-        CheckpointStore(spark, checkpoint_dir, job_name, state_version="hits-v1")
+        CheckpointStore(
+            spark, checkpoint_dir, job_name,
+            state_version="hits-xxh64-v2" if encode else "hits-str-v2",
+        )
         if checkpoint_dir
         else None
     )
@@ -149,15 +181,11 @@ def _hits_loop(
         if last is not None:
             state = store.load_state(last).select("id", "h", "a")
             if store.load_marker(last).get("converged"):
-                out = _finalize(state)
-                verts.unpersist()
-                e.unpersist()
-                e_by_dst.unpersist()
-                return out
+                return _emit(state)
             start = last + 1
     if state is None:
         state = verts.select(
-            "id",
+            _enc(F.col("id")).alias("id"),
             (F.lit(1.0) / F.lit(float(n))).alias("h"),
             F.lit(0.0).alias("a"),
         ).localCheckpoint(eager=True)
@@ -230,11 +258,7 @@ def _hits_loop(
                 f"hits did not converge in {max_iter} iterations (tol={tol})"
             )
 
-    out = _finalize(state)
-    verts.unpersist()
-    e.unpersist()
-    e_by_dst.unpersist()
-    return out
+    return _emit(state)
 
 
 def _finalize(state: DataFrame) -> DataFrame:

@@ -143,6 +143,11 @@ def _move_phase(
         .union(proj.select(F.col("b").alias("v"), F.col("a").alias("nbr"), "w"))
         .withColumn("par", F.pmod(F.col("v"), F.lit(2)).cast("int"))
         .repartition(*([num_partitions, "nbr"] if num_partitions else ["nbr"]))
+        # staging persist (r6): the two parity halves below used to
+        # each materialize this union+repartition from scratch — the
+        # level build paid the 2|E| shuffle TWICE. Cache it once, let
+        # the halves filter from the cache, release it.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sym_by_par = [
         _persist(sym_all.filter(F.col("par") == p).drop("par")) for p in (0, 1)
@@ -162,6 +167,7 @@ def _move_phase(
     )
     for s in sym_by_par:
         s.count()
+    sym_all.unpersist()
 
     # state carries (v, c, k): k is static per level, riding along so
     # every per-round consumer (Σ_tot, the gain expression) reads it
@@ -449,10 +455,14 @@ def _coarsen(
     canonical pair per community pair."""
     ca = comm.select(F.col("v").alias("a"), F.col("c").alias("_ca"))
     cb = comm.select(F.col("v").alias("b"), F.col("c").alias("_cb"))
+    # staging persist (r6): tagged feeds BOTH the coarse pair rollup
+    # and the self-loop rollup — without it the two counts below each
+    # re-ran the full two-join |E| tagging
     tagged = (
         proj.join(ca.hint("shuffle_hash"), "a")
         .join(cb.hint("shuffle_hash"), "b")
         .select(F.col("_ca").alias("ca"), F.col("_cb").alias("cb"), "w")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     new_proj = _persist(
         tagged.filter(F.col("ca") != F.col("cb"))
@@ -477,6 +487,7 @@ def _coarsen(
     )
     new_proj.count()
     new_selfw.count()
+    tagged.unpersist()
     return new_proj, new_selfw
 
 

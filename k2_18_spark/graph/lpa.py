@@ -135,6 +135,11 @@ def _lpa_loop(
         )
         .withColumn("par", F.pmod(F.col("v"), F.lit(2)).cast("int"))
         .repartition(*( [num_partitions, "nbr"] if num_partitions else ["nbr"] ))
+        # staging persist (r6): the two parity halves below used to
+        # each materialize the union+repartition from scratch — the
+        # build paid the 2|E| shuffle twice. Cache once, filter from
+        # the cache, release.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # pre-SPLIT by receiver parity: each round joins/scans only its
     # active half instead of filtering the full persisted table
@@ -146,6 +151,7 @@ def _lpa_loop(
     ]
     for s in sym_by_par:
         s.count()  # eager — supersteps must not pay the build
+    sym_all.unpersist()
 
     store = (
         CheckpointStore(

@@ -67,11 +67,29 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _shingles(text_col: str, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles of the lowercased text."""
-    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    """Distinct word n-gram shingles of the lowercased text.
+
+    r6: built as a zip_with concat chain — the old form sliced the
+    token array inside a transform lambda, and a non-attribute array
+    referenced in a lambda re-evaluates PER ELEMENT (the whole
+    split+regexp chain ran once per gram). zip_with arguments evaluate
+    once per row. concat_ws SKIPS the null padding of the shorter
+    shifted side, which exactly reproduces the old partial tail gram
+    for docs shorter than ``n`` tokens (the slice below keeps index 0
+    in that case, the join of all tokens)."""
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    chain = toks
+    for k in range(1, n):
+        shifted = F.slice(
+            toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0))
+        )
+        chain = F.zip_with(
+            chain, shifted, lambda g, x: F.concat_ws(" ", g, x)
+        )
+    ngrams = F.slice(
+        chain, 1, F.greatest(F.size(toks) - n, F.lit(0)) + 1
     )
     return F.array_distinct(ngrams)
 

@@ -49,6 +49,33 @@ def _norm(text_col: str) -> Column:
     )
 
 
+def _doc_fingerprints(text: str, k: int, w: int) -> list:
+    """Pure-Python winnowing of one normalized document — the same
+    (hash ASC, position DESC) rightmost-min pick per window, deduped
+    per (pos, fp). md5 is md5 in every engine, so the fingerprints are
+    bit-identical to the old JVM formulation."""
+    import hashlib
+    import re
+
+    nt = re.sub(r"\s+", " ", (text or "").lower(), flags=re.ASCII).strip(" ")
+    n = len(nt) - k + 1
+    if n < w:
+        return []
+    h = [
+        hashlib.md5(nt[i : i + k].encode("utf-8")).hexdigest()
+        for i in range(n)
+    ]
+    out = set()
+    for e in range(w - 1, n):
+        best_p = e
+        best = h[e]
+        for p in range(e - 1, e - w, -1):
+            if h[p] < best:
+                best, best_p = h[p], p
+        out.add((best_p, best))
+    return sorted(out)
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     k: int = 5,
@@ -57,65 +84,35 @@ def winnow_fingerprints(
     text_col: str = "text",
 ) -> DataFrame:
     """→ (id, pos, fp): selected winnowing fingerprints. Docs shorter
-    than w + k − 1 normalized chars yield no rows."""
-    from pyspark.sql import Window
+    than w + k − 1 normalized chars yield no rows.
 
-    t = _norm(text_col)
-    # one row per k-gram — an array-HOF formulation (element_at over a
-    # transform-built hash array) is a codegen trap: Catalyst re-
-    # evaluates the array expression per access, going O(n²·w) md5
-    # calls per doc (measured: 500 docs > 10 min). The explode +
-    # sliding-frame form below is one md5 per gram and ONE doc_id
-    # shuffle for the window.
-    grams = (
-        docs.select(F.col(id_col).alias("_id"), t.alias("_nt"))
-        .select(
-            "_id",
-            "_nt",
-            F.posexplode(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.length("_nt") - k + 1, F.lit(0)),
-                )
-            ).alias("_ix", "i"),
-        )
-        .select(
-            "_id",
-            (F.col("i") - 1).cast("long").alias("pos"),
-            F.md5(F.col("_nt").substr(F.col("i"), F.lit(k))).alias("fp"),
-        )
-    )
-    # window s ends at hash position e = s + w − 1: the frame
-    # [e−w+1, e] argmin by (fp ASC, pos DESC) is exactly the
-    # rightmost-min pick of that window; positions < w−1 have no full
-    # window ending there
-    wspec = (
-        Window.partitionBy("_id")
-        .orderBy("pos")
-        .rowsBetween(-(w - 1), 0)
-    )
-    picked = (
-        grams.select(
-            "_id",
-            "pos",
-            F.min(
-                F.struct(
-                    F.col("fp").alias("fp"),
-                    (-F.col("pos")).alias("negpos"),
-                )
-            )
-            .over(wspec)
-            .alias("m"),
-        )
-        .filter(F.col("pos") >= w - 1)
-        .select(
-            "_id",
-            (-F.col("m.negpos")).cast("long").alias("pos"),
-            F.col("m.fp").alias("fp"),
-        )
-        .distinct()
-    )
-    return picked.withColumnRenamed("_id", id_col)
+    r6 rework (guide §2.4 + §4.2): the whole selection is per-document,
+    so no shuffle is fundamentally required — the r5 plan exploded one
+    row per k-gram (~|chars| rows, 653 MB shuffle at the sf0.1 bench),
+    paid a per-doc sort for the sliding-frame window and a second
+    exchange for the distinct. Now ONE Arrow-batched mapInPandas pass
+    computes each document's fingerprints in CPython (hashlib.md5 —
+    identical hex — plus an O(n·w) sliding min), shuffling nothing.
+    Trade-off: a giant document's grams land on one task — bounded by
+    max doc length, as in operators/gopher.py."""
+    from typing import Iterator
+
+    id_decl = f"`{id_col}` {docs.schema[id_col].dataType.simpleString()}"
+    schema = f"{id_decl}, pos bigint, fp string"
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, poss, fps = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                for pos, fp in _doc_fingerprints(text, k, w):
+                    ids.append(did)
+                    poss.append(pos)
+                    fps.append(fp)
+            yield pd.DataFrame({id_col: ids, "pos": poss, "fp": fps})
+
+    return docs.select(id_col, text_col).mapInPandas(fn, schema)
 
 
 def shared_fingerprint_pairs(

@@ -188,3 +188,36 @@ def test_degree_centrality_single_node_matches_nx(spark):
     got = degrees(edges, nodes).collect()
     assert len(got) == 1
     assert got[0]["degree_centrality"] == 1.0
+
+
+def test_shingles_zipwith_chain_matches_replica(spark):
+    """r6: _shingles builds grams as a zip_with concat chain; pin the
+    exact semantics against a pure-python replica — including the
+    short-doc partial tail gram (size < n keeps the join of ALL
+    tokens, the behavior the old slice-in-transform form had)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from k2_18_spark.operators.dedup import _shingles
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog",
+        "one two",          # shorter than n=3 → one partial shingle
+        "single",           # one token
+        "  spaced   out\ttokens  here  ",
+        "dup dup dup dup",  # distinct collapses repeats
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in df.select("doc_id", _shingles("text", 3).alias("sh")).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+        grams = [
+            " ".join(toks[j : j + 3])
+            for j in range(max(len(toks) - 3, 0) + 1)
+        ]
+        assert got[i] == sorted(set(grams)), i
