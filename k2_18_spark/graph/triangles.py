@@ -43,8 +43,18 @@ def _oriented(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("deg"))
     )
     e = (
-        und.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a")), "a")
-        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b")), "b")
+        und.join(
+            deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a")).hint(
+                "shuffle_hash"
+            ),
+            "a",
+        )
+        .join(
+            deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b")).hint(
+                "shuffle_hash"
+            ),
+            "b",
+        )
         .select(
             F.when(
                 (F.col("deg_a") < F.col("deg_b"))
@@ -91,10 +101,14 @@ def triangle_list(
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
     e.count()  # materialize once; reused three times below
 
-    # wedge at the smallest corner: lo→b, lo→c (b != c, canonical b<c)
+    # wedge at the smallest corner: lo→b, lo→c (b != c, canonical b<c);
+    # shuffle_hash (r6): build one side's per-partition hash table
+    # instead of sort-merge sorting BOTH copies of the oriented table —
+    # degree orientation bounds per-center fan-out (O(√E)), so the
+    # build side is safe on power-law graphs
     e1 = e.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
     e2 = e.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
-    wedges = e1.join(e2, "x").filter(F.col("y") < F.col("z"))
+    wedges = e1.join(e2.hint("shuffle_hash"), "x").filter(F.col("y") < F.col("z"))
 
     # closing edge may be oriented y→z or z→y; canonicalize both sides
     closing = e.select(
