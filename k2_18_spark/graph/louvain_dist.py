@@ -149,6 +149,7 @@ def _move_phase(
         # the halves filter from the cache, release it.
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _t_build = time.time()
     sym_by_par = [
         _persist(sym_all.filter(F.col("par") == p).drop("par")) for p in (0, 1)
     ]
@@ -168,12 +169,17 @@ def _move_phase(
     for s in sym_by_par:
         s.count()
     sym_all.unpersist()
+    log.info("louvain sym-build wall=%.1fs", time.time() - _t_build)
+    _t_build = time.time()
 
     # state carries (v, c, k): k is static per level, riding along so
     # every per-round consumer (Σ_tot, the gain expression) reads it
     # without a join against a separate degree table
     comm = k.select("v", F.col("v").alias("c"), "k").localCheckpoint(eager=True)
     n_level = comm.count()
+    log.info(
+        "louvain level-setup n=%d wall=%.1fs", n_level, time.time() - _t_build
+    )
     threshold = int(n_level * min_moves_frac)
     rounds: list[int] = []
     total_moves = 0
@@ -336,10 +342,19 @@ def _louvain_loop(
     checkpoint_dir, job_name, num_partitions, score_round, min_moves_frac,
     min_round_dq=None,
 ) -> DataFrame:
-    verts = _persist(dense_vertex_ids(vertex_ids(edges, nodes)))
+    _t0 = time.time()
+    # node_order shortcut (r6 — the lpa.py/sssp.py idiom): when the
+    # caller's node table already carries the canonical order key, the
+    # whole two-phase dense-numbering build (distinct + range
+    # repartition + offsets collect + window) is redundant
+    if nodes is not None and "node_order" in nodes.columns:
+        verts = _persist(nodes.select("id", F.col("node_order").alias("ord")))
+    else:
+        verts = _persist(dense_vertex_ids(vertex_ids(edges, nodes)))
     n = verts.count()
     if n == 0:
         return spark.createDataFrame([], "id string, cluster_id int")
+    log.info("louvain verts n=%d wall=%.1fs", n, time.time() - _t0)
 
     proj0 = undirected_projection(edges)
     enc_a = verts.select(F.col("id").alias("a"), F.col("ord").alias("_ea"))
@@ -355,7 +370,9 @@ def _louvain_loop(
     selfw = _persist(
         proj.select(F.col("a").alias("v"), F.lit(0.0).alias("s")).limit(0)
     )
+    _t1 = time.time()
     m = (proj.agg(F.sum("w")).collect()[0][0] or 0.0)
+    log.info("louvain proj+m wall=%.1fs", time.time() - _t1)
     if m == 0:
         # no edges: every vertex its own singleton community
         out = verts.select(
@@ -433,7 +450,9 @@ def _louvain_loop(
             break
         if level + 1 >= max_levels:
             break  # level cap: skip the coarsening no later level reads
+        _tc = time.time()
         new_proj, new_selfw = _coarsen(proj, selfw, comm, num_partitions)
+        log.info("louvain coarsen wall=%.1fs", time.time() - _tc)
         proj.unpersist()
         selfw.unpersist()
         proj, selfw = new_proj, new_selfw
@@ -464,7 +483,15 @@ def _coarsen(
         .select(F.col("_ca").alias("ca"), F.col("_cb").alias("cb"), "w")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    new_proj = _persist(
+    # localCheckpoint, not persist (r6): the coarse tables feed the
+    # next level's ENTIRE job set (sym build, k, every move round), and
+    # a cached-but-deep plan makes each of those jobs re-analyze and
+    # cache-match the full two-join coarsening lineage — measured 3× on
+    # the level-1 setup despite a 2.6× smaller graph. Checkpointing
+    # truncates the lineage to a LogicalRDD (the pagerank idiom), so
+    # level n+1 plans start flat; the lazy checkpoint materializes in
+    # the same job as the count below.
+    new_proj = (
         tagged.filter(F.col("ca") != F.col("cb"))
         .select(
             F.least("ca", "cb").alias("a"),
@@ -473,6 +500,7 @@ def _coarsen(
         )
         .groupBy("a", "b")
         .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=False)
     )
     loops = tagged.filter(F.col("ca") == F.col("cb")).select(
         F.col("ca").alias("v"), F.col("w").alias("s")
@@ -482,8 +510,11 @@ def _coarsen(
             comm.select(F.col("v"), F.col("c")).hint("shuffle_hash"), "v"
         ).select(F.col("c").alias("v"), "s")
     )
-    new_selfw = _persist(
-        loops.unionByName(member_loops).groupBy("v").agg(F.sum("s").alias("s"))
+    new_selfw = (
+        loops.unionByName(member_loops)
+        .groupBy("v")
+        .agg(F.sum("s").alias("s"))
+        .localCheckpoint(eager=False)
     )
     new_proj.count()
     new_selfw.count()
