@@ -104,13 +104,21 @@ def _hits_loop(
     # r6 (guide §2.3 narrower types): supersteps shuffled STRING vertex
     # keys; encode to xxhash64 longs (8-byte keys, cheap hash/compare),
     # decode the |V|-row result once at the end. One |V| aggregate
-    # verifies injectivity; the astronomically-rare collision falls
-    # back to the raw string keys (identical semantics either way —
-    # the sums don't depend on the key representation).
-    vstats = verts.select(F.xxhash64("id").alias("h")).agg(
-        F.count(F.lit(1)).alias("n"), F.countDistinct("h").alias("nd")
+    # verifies injectivity AND measures key width; the encoding is only
+    # worth its own hash+decode cost when the keys are wider than the
+    # 8-byte long it produces (web ids are URLs; bench ids are 5-char
+    # synthetics — a data-derived gate, not a core-count one). The
+    # astronomically-rare hash collision also falls back to the raw
+    # string keys (identical semantics either way — the sums don't
+    # depend on the key representation).
+    vstats = verts.select(
+        F.xxhash64("id").alias("h"), F.length("id").alias("l")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("h").alias("nd"),
+        F.avg("l").alias("w"),
     ).collect()[0]
-    encode = vstats["n"] == vstats["nd"]
+    encode = vstats["n"] == vstats["nd"] and (vstats["w"] or 0.0) > 8.0
 
     def _enc(col):
         return F.xxhash64(col) if encode else col
