@@ -267,10 +267,24 @@ def _anf_loop(
 
     bits_expr = _sum_bits_expr(scols)
     rounds_limit = fixed_rounds if fixed_rounds is not None else max_rounds
+    # changed-sketch frontier (r6, the LPA trick / guide §2.3): a
+    # vertex's round-t merge can only gain bits from neighbors whose
+    # sketch CHANGED in round t-1 — an unchanged neighbor's sketch was
+    # already absorbed the round before (induction from round 1's full
+    # join: sk_t[v] ⊇ sk_{t-1}[d] for every out-edge (v,d)). So from
+    # round 2 on, the join's sketch side carries only the changed rows;
+    # late rounds (the saturation tail — most of a high-diameter
+    # graph's rounds) shuffle a shrinking frontier instead of |V|
+    # sketch rows. None → full join (round 1, and the first round
+    # after a checkpoint resume, where the prior delta is unknown).
+    delta: DataFrame | None = None
     for it in range(start_round, rounds_limit):
+        join_side = sketches if delta is None else delta
         nbr = (
             e.join(
-                sketches.select(F.col("id").alias("dst"), *scols).hint("shuffle_hash"),
+                join_side.select(F.col("id").alias("dst"), *scols).hint(
+                    "shuffle_hash"
+                ),
                 "dst",
             )
             .groupBy(F.col("src").alias("id"))
@@ -338,6 +352,13 @@ def _anf_loop(
                 converged=changed == 0,
             )
         sketches = new.select("id", *scols, *hcols)
+        # next round's frontier: rows whose merged registers differ
+        # from their o_* copies — filtered off the just-materialized
+        # checkpoint, so it costs one cached scan, no extra shuffle
+        changed_pred = diff[0].cast("boolean")
+        for d in diff[1:]:
+            changed_pred = changed_pred | d.cast("boolean")
+        delta = new.filter(changed_pred).select("id", *scols)
         prev.unpersist()
         if changed == 0 and fixed_rounds is None:
             break

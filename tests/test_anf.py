@@ -185,3 +185,33 @@ def test_duplicate_edges_and_self_loops_ignored(spark):
     assert sorted(map(tuple, a.sketches.collect())) == sorted(
         map(tuple, b.sketches.collect())
     )
+
+
+def test_delta_frontier_long_chain_matches_replica(spark):
+    """Pins the r6 changed-sketch frontier: on a 12-chain the round-t
+    join side shrinks every round (only vertices ≥ t hops from the
+    sink still change), and every round from 2 on mixes changed and
+    settled neighbors — the exact case where a wrong delta filter
+    would drop a contribution. Full per-round totals AND final
+    sketches must match the full-merge python replica bit for bit."""
+    n = 12
+    edge_list = [(f"c{i}", f"c{i + 1}") for i in range(n - 1)]
+    res = anf(spark, _edges_df(spark, edge_list), registers=4)
+    snaps, rounds = _py_anf(edge_list, registers=4)
+
+    def bits(snap):
+        tot = 0
+        for regs in snap.values():
+            for m in regs:
+                tot += ((m + 1) & ~m).bit_length() - 1
+        return tot
+
+    assert [t["total_bits"] for t in res.totals] == [
+        bits(snaps[i + 1]) for i in range(len(res.totals))
+    ]
+    assert res.rounds == rounds
+    got = {
+        row["id"]: [row[f"s{r}"] for r in range(4)]
+        for row in res.sketches.collect()
+    }
+    assert got == snaps[-1]
