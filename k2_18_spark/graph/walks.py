@@ -156,8 +156,13 @@ def random_walks(
             .select("walk_id", F.lit(t).alias("t"), F.col("m.nxt").alias("nxt"))
             .localCheckpoint(eager=False)
         )
-        if pick.count() == 0:
-            break
+        # r6: no per-step count — the blocking count per step existed
+        # only to exit early once EVERY walk hit a dangling vertex, but
+        # an empty pick table contributes nothing to the final union,
+        # so the output is identical without it. Dropping it removes
+        # walk_length-1 scheduling barriers: the lazy checkpoints
+        # materialize back-to-back inside the single assembly job
+        # (each still truncates lineage at its step boundary).
         picks.append(pick)
         frontier = pick.select("walk_id", F.col("nxt").alias("cur"))
 
@@ -343,8 +348,9 @@ def node2vec_walks(
             )
             .localCheckpoint(eager=False)
         )
-        if pick.count() == 0:
-            break
+        # r6: no per-step count — same argument as random_walks above
+        # (empty picks are no-ops in the final union; one scheduled job
+        # instead of walk_length blocking rounds)
         picks.append(pick)
         frontier = pick.select(
             "walk_id",
